@@ -1,0 +1,167 @@
+"""Pose-only optimization: robust Levenberg-Marquardt on one SE(3).
+
+Replaces Optimizer::PoseOptimization (/root/reference/src/Optimizer.cc:286-513),
+which builds a g2o graph with one SE3 vertex and N unary mono/stereo
+reprojection edges and runs 4 rounds x 10 LM iterations with chi-square
+inlier reclassification between rounds (Huber kernel dropped after the
+second round, Optimizer.cc:468,497).
+
+Here the whole problem is batched arrays: residuals/Jacobians for all N
+observations at once (analytic Jacobians, mirroring
+types_six_dof_expmap.h:143-205), a 6x6 normal-equation solve, and a
+lax.scan LM loop — one jit, no graph construction.
+
+Conventions:
+- residual e = observed - projected (2D mono, 3D stereo with virtual right u)
+- information = invSigma2(octave) * I (Optimizer.cc:356-357)
+- chi2 thresholds 5.991 (mono) / 7.815 (stereo) (Optimizer.cc:435-500)
+- left-multiplicative twist update exp(xi) * Tcw
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2_tpu.geometry import se3
+from orbslam2_tpu.geometry.camera import PinholeCamera
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class PoseObs(NamedTuple):
+    """Batched unary observations of one frame (fixed capacity, masked)."""
+    pts_w: jax.Array      # [N, 3] world points
+    uv: jax.Array         # [N, 3] observed (u, v, uR); uR < 0 => mono
+    inv_sigma2: jax.Array  # [N] per-octave information scale
+    is_stereo: jax.Array  # [N] bool
+    valid: jax.Array      # [N] bool
+
+
+def _residual_jacobian(tcw: jax.Array, obs: PoseObs, cam: PinholeCamera):
+    """-> (e [N,3], J [N,3,6], depth [N]). Third row zeroed for mono."""
+    pc = se3.apply(tcw, obs.pts_w)  # [N, 3]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+
+    e_u = obs.uv[:, 0] - u
+    e_v = obs.uv[:, 1] - v
+    e_r = jnp.where(obs.is_stereo, obs.uv[:, 2] - ur, 0.0)
+    e = jnp.stack([e_u, e_v, e_r], axis=-1)
+
+    # d(uvr)/d(pc): [N, 3, 3]
+    zeros = jnp.zeros_like(x)
+    du = jnp.stack([cam.fx * inv_z, zeros, -cam.fx * x * inv_z2], axis=-1)
+    dv = jnp.stack([zeros, cam.fy * inv_z, -cam.fy * y * inv_z2], axis=-1)
+    dr = du + jnp.stack([zeros, zeros, cam.bf * inv_z2], axis=-1)
+    dr = jnp.where(obs.is_stereo[:, None], dr, 0.0)
+    d_proj = jnp.stack([du, dv, dr], axis=-2)
+
+    # d(pc)/d(xi) for left-mult twist: [I | -hat(pc)]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
+    j_pc = jnp.concatenate([eye, -se3.hat(pc)], axis=-1)  # [N, 3, 6]
+
+    # residual = obs - proj, so J = -d(proj)/d(xi)
+    j = -jnp.einsum("nij,njk->nik", d_proj, j_pc)
+    return e, j, z
+
+
+def _chi2(e: jax.Array, obs: PoseObs) -> jax.Array:
+    """Per-observation chi-square with octave information scaling."""
+    sq = jnp.sum(e * e, axis=-1)
+    return sq * obs.inv_sigma2
+
+
+def pose_optimization(
+    tcw0: jax.Array,
+    obs: PoseObs,
+    cam: PinholeCamera,
+    rounds: int = 4,
+    iters: int = 10,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (tcw, inlier_mask [N] bool, n_inliers int32).
+
+    Mirrors the reference's 4-round schedule: each round runs `iters` LM
+    steps on the current inlier set, then reclassifies inliers by chi2
+    against 5.991/7.815; the Huber kernel is active for the first two
+    rounds only (Optimizer.cc:428-503).
+    """
+    delta_mono = jnp.sqrt(CHI2_MONO)
+    delta_stereo = jnp.sqrt(CHI2_STEREO)
+    chi2_th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
+
+    def total_cost(tcw, inlier, use_huber):
+        e, _, z = _residual_jacobian(tcw, obs, cam)
+        c = _chi2(e, obs)
+        delta = jnp.where(obs.is_stereo, delta_stereo, delta_mono)
+        s = jnp.sqrt(jnp.maximum(c, 1e-12))
+        huber_cost = jnp.where(s <= delta, c, 2.0 * delta * s - delta * delta)
+        cost = jnp.where(use_huber, huber_cost, c)
+        w = inlier & obs.valid & (z > 1e-6)
+        return jnp.sum(jnp.where(w, cost, 0.0))
+
+    def lm_round(tcw, inlier, use_huber):
+        def step(carry, _):
+            tcw, lam, cost = carry
+            e, j, z = _residual_jacobian(tcw, obs, cam)
+            c = _chi2(e, obs)
+            delta = jnp.where(obs.is_stereo, delta_stereo, delta_mono)
+            s = jnp.sqrt(jnp.maximum(c, 1e-12))
+            w_huber = jnp.where(use_huber & (s > delta), delta / s, 1.0)
+            w = obs.inv_sigma2 * w_huber
+            w = jnp.where(inlier & obs.valid & (z > 1e-6), w, 0.0)
+            jw = j * w[:, None, None]
+            h = jnp.einsum("nij,nik->jk", jw, j)  # [6, 6]
+            # GN/LM step: delta = -H^-1 J^T W e (J is d(residual)/d(xi))
+            b = -jnp.einsum("nij,ni->j", jw, e)
+            h_damped = h + lam * jnp.diag(jnp.diag(h)) + 1e-9 * jnp.eye(6)
+            xi = jnp.linalg.solve(h_damped, b)
+            tcw_new = se3.retract(tcw, xi)
+            cost_new = total_cost(tcw_new, inlier, use_huber)
+            accept = cost_new < cost
+            tcw_out = jnp.where(accept, tcw_new, tcw)
+            lam_out = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), jnp.minimum(lam * 4.0, 1e6))
+            cost_out = jnp.where(accept, cost_new, cost)
+            return (tcw_out, lam_out, cost_out), None
+
+        cost0 = total_cost(tcw, inlier, use_huber)
+        (tcw, _, _), _ = jax.lax.scan(step, (tcw, jnp.float32(1e-3), cost0), None, length=iters)
+        return tcw
+
+    inlier = obs.valid
+    tcw = tcw0
+    for r in range(rounds):
+        use_huber = jnp.bool_(r < 2)
+        tcw = lm_round(tcw, inlier, use_huber)
+        e, _, z = _residual_jacobian(tcw, obs, cam)
+        c = _chi2(e, obs)
+        inlier = obs.valid & (c <= chi2_th) & (z > 1e-6)
+    return tcw, inlier, jnp.sum(inlier.astype(jnp.int32))
+
+
+def make_pose_obs(
+    pts_w: jax.Array,
+    uv: jax.Array,
+    octave: jax.Array,
+    is_stereo: jax.Array,
+    valid: jax.Array,
+    scale_factor: float = 1.2,
+) -> PoseObs:
+    """Convenience: information from octave as 1/scale^(2*octave)
+    (reference per-level invSigma2, ORBextractor scale pyramid)."""
+    inv_sigma2 = (1.0 / scale_factor ** 2) ** octave.astype(jnp.float32)
+    return PoseObs(
+        pts_w=pts_w,
+        uv=uv if uv.shape[-1] == 3 else jnp.concatenate([uv, -jnp.ones_like(uv[..., :1])], -1),
+        inv_sigma2=inv_sigma2,
+        is_stereo=is_stereo,
+        valid=valid,
+    )
