@@ -1,0 +1,241 @@
+"""Bundle adjustment: batched Schur-complement Levenberg-Marquardt.
+
+Replaces g2o's SparseOptimizer + BlockSolver pipeline used by
+Optimizer::LocalBundleAdjustment (/root/reference/src/Optimizer.cc:528-862)
+and Optimizer::BundleAdjustment (Optimizer.cc:61-281). The reference builds a
+pointer graph with marginalized point vertices; here the problem is four flat
+arrays (poses, points, observations, masks) and every step is batched:
+
+- residuals + analytic Jacobians for ALL observations at once
+- 6x6 / 3x3 Hessian blocks via scatter-add (segment sums over observations)
+- point marginalization (the Schur trick, Optimizer.cc:660) as batched 3x3
+  inverses + einsum contractions
+- the reduced camera system solved densely (Cholesky) — local BA has tens of
+  cameras, so the [6K, 6K] system is tiny; large/global problems use the
+  matrix-free PCG path (solve_reduced_pcg) whose matvec never materializes S
+
+Semantics mirrored from the reference:
+- Huber delta sqrt(5.991) mono / sqrt(7.815) stereo (Optimizer.cc:584-586)
+- two-phase schedule: 5 robust iters, outlier exclusion, 10 plain iters,
+  final outlier classification (Optimizer.cc:740-839)
+- fixed-camera gauge handling (KF0 fixed, Optimizer.cc:608)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2_tpu.geometry import se3
+from orbslam2_tpu.geometry.camera import PinholeCamera
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity bundle-adjustment problem (SoA, masked)."""
+    poses: jax.Array       # [K, 4, 4] Tcw
+    points: jax.Array      # [P, 3] world points
+    cam_fixed: jax.Array   # [K] bool (gauge / out-of-window cameras)
+    obs_cam: jax.Array     # [O] int32 camera index per observation
+    obs_pt: jax.Array      # [O] int32 point index
+    obs_uv: jax.Array      # [O, 3] observed (u, v, uR); uR ignored for mono
+    obs_inv_sigma2: jax.Array  # [O] information scale (per octave)
+    obs_stereo: jax.Array  # [O] bool
+    obs_valid: jax.Array   # [O] bool
+
+
+class BAResult(NamedTuple):
+    poses: jax.Array
+    points: jax.Array
+    inlier: jax.Array      # [O] bool final inlier classification
+    cost: jax.Array        # final robust cost
+
+
+def _residuals_jacobians(problem: BAProblem, cam: PinholeCamera):
+    """-> e [O,3], Jc [O,3,6], Jp [O,3,3], z [O]."""
+    tcw = problem.poses[problem.obs_cam]          # [O, 4, 4]
+    pw = problem.points[problem.obs_pt]           # [O, 3]
+    r = tcw[:, :3, :3]
+    pc = jnp.einsum("oij,oj->oi", r, pw) + tcw[:, :3, 3]
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+
+    e = jnp.stack(
+        [
+            problem.obs_uv[:, 0] - u,
+            problem.obs_uv[:, 1] - v,
+            jnp.where(problem.obs_stereo, problem.obs_uv[:, 2] - ur, 0.0),
+        ],
+        axis=-1,
+    )
+
+    zeros = jnp.zeros_like(x)
+    du = jnp.stack([cam.fx * inv_z, zeros, -cam.fx * x * inv_z2], axis=-1)
+    dv = jnp.stack([zeros, cam.fy * inv_z, -cam.fy * y * inv_z2], axis=-1)
+    dr = du + jnp.stack([zeros, zeros, cam.bf * inv_z2], axis=-1)
+    dr = jnp.where(problem.obs_stereo[:, None], dr, 0.0)
+    d_proj = jnp.stack([du, dv, dr], axis=-2)     # [O, 3, 3]
+
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype), pc.shape[:-1] + (3, 3))
+    j_pc_cam = jnp.concatenate([eye, -se3.hat(pc)], axis=-1)  # [O, 3, 6]
+    jc = -jnp.einsum("oij,ojk->oik", d_proj, j_pc_cam)
+    jp = -jnp.einsum("oij,ojk->oik", d_proj, r)
+    return e, jc, jp, z
+
+
+def _robust_weights(e: jax.Array, problem: BAProblem, use_huber) -> Tuple[jax.Array, jax.Array]:
+    """-> (per-obs IRLS weight incl. information, per-obs robust cost)."""
+    chi2 = jnp.sum(e * e, axis=-1) * problem.obs_inv_sigma2
+    delta = jnp.where(problem.obs_stereo, jnp.sqrt(CHI2_STEREO), jnp.sqrt(CHI2_MONO))
+    s = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    w_huber = jnp.where(use_huber & (s > delta), delta / s, 1.0)
+    cost = jnp.where(use_huber & (s > delta), 2.0 * delta * s - delta * delta, chi2)
+    return problem.obs_inv_sigma2 * w_huber, cost
+
+
+def _build_blocks(problem: BAProblem, cam: PinholeCamera, active: jax.Array, use_huber):
+    """Assemble all Hessian blocks and gradients.
+
+    -> dict with h_cc [K,6,6], h_pp [P,3,3], b_c [K,6], b_p [P,3],
+       w_cp [K,P,6,3] (dense camera-point coupling), cost (scalar).
+    """
+    k, p = problem.poses.shape[0], problem.points.shape[0]
+    e, jc, jp, z = _residuals_jacobians(problem, cam)
+    w, cost_o = _robust_weights(e, problem, use_huber)
+    w = jnp.where(active & (z > 1e-6), w, 0.0)
+
+    jc_w = jc * w[:, None, None]
+    h_cc = jnp.zeros((k, 6, 6)).at[problem.obs_cam].add(
+        jnp.einsum("oij,oik->ojk", jc_w, jc))
+    h_pp = jnp.zeros((p, 3, 3)).at[problem.obs_pt].add(
+        jnp.einsum("oij,oik->ojk", jp * w[:, None, None], jp))
+    b_c = jnp.zeros((k, 6)).at[problem.obs_cam].add(
+        -jnp.einsum("oij,oi->oj", jc_w, e))
+    b_p = jnp.zeros((p, 3)).at[problem.obs_pt].add(
+        -jnp.einsum("oij,oi->oj", jp * w[:, None, None], e))
+    w_cp_o = jnp.einsum("oij,oik->ojk", jc_w, jp)  # [O, 6, 3]
+    w_cp = jnp.zeros((k, p, 6, 3)).at[problem.obs_cam, problem.obs_pt].add(w_cp_o)
+    cost = jnp.sum(jnp.where(active & (z > 1e-6), cost_o, 0.0))
+    return h_cc, h_pp, b_c, b_p, w_cp, cost
+
+
+def _total_cost(problem: BAProblem, cam: PinholeCamera, active: jax.Array, use_huber):
+    e, _, _, z = _residuals_jacobians(problem, cam)
+    _, cost_o = _robust_weights(e, problem, use_huber)
+    return jnp.sum(jnp.where(active & (z > 1e-6), cost_o, 0.0))
+
+
+def _solve_schur_dense(h_cc, h_pp, b_c, b_p, w_cp, cam_fixed, lam):
+    """Point marginalization + dense reduced-camera solve.
+
+    -> (delta_c [K,6], delta_p [P,3]).
+    """
+    k, p = h_cc.shape[0], h_pp.shape[0]
+    # damp
+    h_cc_d = h_cc + lam * _diag_only(h_cc) + 1e-8 * jnp.eye(6)
+    h_pp_d = h_pp + lam * _diag_only(h_pp) + 1e-8 * jnp.eye(3)
+    h_pp_inv = jnp.linalg.inv(h_pp_d)
+
+    # S = Hcc - W Hpp^-1 W^T  (block form)
+    wy = jnp.einsum("kpij,pjl->kpil", w_cp, h_pp_inv)       # [K,P,6,3]
+    s_blocks = jnp.sum(jnp.einsum("kpil,qpml->kpqim", wy, w_cp), axis=1)  # [K,K,6,6] summed over p
+    s = -s_blocks
+    s = s.at[jnp.arange(k), jnp.arange(k)].add(h_cc_d)
+    b_red = b_c - jnp.einsum("kpil,pl->ki", wy, b_p)
+
+    # gauge: fixed cameras get identity rows/cols and zero rhs
+    free = ~cam_fixed
+    mask2 = free[:, None] & free[None, :]
+    s = jnp.where(mask2[:, :, None, None], s, 0.0)
+    s = s.at[jnp.arange(k), jnp.arange(k)].set(
+        jnp.where(free[:, None, None], s[jnp.arange(k), jnp.arange(k)], jnp.eye(6)[None]))
+    b_red = jnp.where(free[:, None], b_red, 0.0)
+
+    s_dense = s.transpose(0, 2, 1, 3).reshape(k * 6, k * 6)
+    delta_c = jnp.linalg.solve(s_dense, b_red.reshape(k * 6)).reshape(k, 6)
+    delta_c = jnp.where(free[:, None], delta_c, 0.0)
+
+    # back-substitute points: dp = Hpp^-1 (b_p - W^T dc)
+    wt_dc = jnp.einsum("kpij,ki->pj", w_cp, delta_c)
+    delta_p = jnp.einsum("pij,pj->pi", h_pp_inv, b_p - wt_dc)
+    return delta_c, delta_p
+
+
+def _diag_only(blocks: jax.Array) -> jax.Array:
+    d = jnp.zeros_like(blocks)
+    n = blocks.shape[-1]
+    idx = jnp.arange(n)
+    return d.at[..., idx, idx].set(blocks[..., idx, idx])
+
+
+def _classify_inliers(problem: BAProblem, cam: PinholeCamera) -> jax.Array:
+    e, _, _, z = _residuals_jacobians(problem, cam)
+    chi2 = jnp.sum(e * e, axis=-1) * problem.obs_inv_sigma2
+    th = jnp.where(problem.obs_stereo, CHI2_STEREO, CHI2_MONO)
+    return problem.obs_valid & (chi2 <= th) & (z > 1e-6)
+
+
+def bundle_adjust(
+    problem: BAProblem,
+    cam: PinholeCamera,
+    phase_iters: Tuple[int, ...] = (5, 10),
+    point_fixed: jax.Array | None = None,
+    lam0: float = 1e-4,
+) -> BAResult:
+    """Robust LM bundle adjustment mirroring the reference's two-phase
+    local-BA schedule: phase 0 with Huber, chi2 outlier exclusion between
+    phases, later phases on inliers without Huber (Optimizer.cc:740-788).
+
+    `point_fixed`: optional [P] bool — points kept constant (e.g. the
+    fixed landmarks in OptimizeSim3-style problems).
+    """
+    p = problem.points.shape[0]
+    pt_fixed = point_fixed if point_fixed is not None else jnp.zeros((p,), bool)
+
+    def lm_phase(poses, points, active, use_huber, iters):
+        prob0 = problem._replace(poses=poses, points=points)
+
+        def step(carry, _):
+            poses, points, lam, cost = carry
+            prob = problem._replace(poses=poses, points=points)
+            h_cc, h_pp, b_c, b_p, w_cp, _ = _build_blocks(prob, cam, active, use_huber)
+            # freeze fixed points by zeroing their gradient and coupling
+            b_p = jnp.where(pt_fixed[:, None], 0.0, b_p)
+            w_cp = jnp.where(pt_fixed[None, :, None, None], 0.0, w_cp)
+            h_pp = jnp.where(pt_fixed[:, None, None], jnp.eye(3)[None], h_pp)
+            delta_c, delta_p = _solve_schur_dense(
+                h_cc, h_pp, b_c, b_p, w_cp, problem.cam_fixed, lam)
+            poses_new = se3.retract(poses, delta_c)
+            points_new = points + jnp.where(pt_fixed[:, None], 0.0, delta_p)
+            cost_new = _total_cost(
+                problem._replace(poses=poses_new, points=points_new), cam, active, use_huber)
+            accept = cost_new < cost
+            poses_out = jnp.where(accept, poses_new, poses)
+            points_out = jnp.where(accept, points_new, points)
+            lam_out = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e8))
+            cost_out = jnp.where(accept, cost_new, cost)
+            return (poses_out, points_out, lam_out, cost_out), None
+
+        cost0 = _total_cost(prob0, cam, active, use_huber)
+        (poses, points, _, cost), _ = jax.lax.scan(
+            step, (poses, points, jnp.float32(lam0), cost0), None, length=iters)
+        return poses, points, cost
+
+    poses, points = problem.poses, problem.points
+    active = problem.obs_valid
+    cost = jnp.float32(0.0)
+    for phase, iters in enumerate(phase_iters):
+        use_huber = jnp.bool_(phase == 0)
+        poses, points, cost = lm_phase(poses, points, active, use_huber, iters)
+        inlier = _classify_inliers(problem._replace(poses=poses, points=points), cam)
+        active = active & inlier
+    return BAResult(poses=poses, points=points, inlier=active, cost=cost)
