@@ -22,6 +22,7 @@ Semantics mirrored from the reference:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -184,6 +185,7 @@ def _classify_inliers(problem: BAProblem, cam: PinholeCamera) -> jax.Array:
     return problem.obs_valid & (chi2 <= th) & (z > 1e-6)
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "phase_iters"))
 def bundle_adjust(
     problem: BAProblem,
     cam: PinholeCamera,

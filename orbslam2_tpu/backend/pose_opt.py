@@ -19,6 +19,7 @@ Conventions:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Tuple
 
 import jax
@@ -80,6 +81,7 @@ def _chi2(e: jax.Array, obs: PoseObs) -> jax.Array:
     return sq * obs.inv_sigma2
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "rounds", "iters"))
 def pose_optimization(
     tcw0: jax.Array,
     obs: PoseObs,

@@ -1,0 +1,185 @@
+"""Jitted device kernels for the tracking front-end.
+
+Each function is shape-static (fixed point/keypoint capacities, masked) and
+jitted once per geometry. Together they replace the scalar per-point loops
+of Tracking::SearchLocalPoints + Frame::isInFrustum + the
+ORBmatcher::SearchByProjection family
+(/root/reference/src/Tracking.cc:1403-1483, Frame.cc:310-377,
+ORBmatcher.cc:48-136, 1396-1553).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from orbslam2_tpu.geometry import se3
+from orbslam2_tpu.geometry.camera import PinholeCamera
+from orbslam2_tpu.ops import hamming, match
+from orbslam2_tpu.ops.orb import Keypoints
+from orbslam2_tpu.backend import pose_opt
+
+
+class FrustumInfo(NamedTuple):
+    visible: jax.Array   # [C] bool passes all frustum gates
+    uv: jax.Array        # [C, 2] projection
+    pred_level: jax.Array  # [C] int32 predicted octave
+    view_cos: jax.Array  # [C]
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def frustum_check(
+    tcw: jax.Array,
+    pt_pos: jax.Array,      # [C, 3]
+    pt_valid: jax.Array,    # [C]
+    pt_normal: jax.Array,   # [C, 3]
+    pt_min_dist: jax.Array,  # [C]
+    pt_max_dist: jax.Array,  # [C]
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    view_cos_limit: float = 0.5,
+) -> FrustumInfo:
+    """Frame::isInFrustum for all candidate points at once
+    (/root/reference/src/Frame.cc:310-377): positive depth, inside image,
+    distance within scale band, viewing angle < 60 deg."""
+    pc = se3.apply(tcw, pt_pos)
+    uv, z = cam.project(pc)
+    in_img = (
+        (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    ow = se3.camera_center(tcw)
+    rays = pt_pos - ow[None, :]
+    dist = jnp.linalg.norm(rays, axis=-1)
+    in_band = (dist >= 0.8 * pt_min_dist) & (dist <= 1.2 * pt_max_dist)
+    view_cos = jnp.sum(rays * pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    pred_level = match.predict_scale_level(dist, pt_max_dist, scale_factor, n_levels)
+    visible = pt_valid & (z > 0.05) & in_img & in_band & (view_cos > view_cos_limit)
+    return FrustumInfo(visible=visible, uv=uv, pred_level=pred_level, view_cos=view_cos)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "max_hamming"))
+def search_local_points(
+    tcw: jax.Array,
+    pt_pos: jax.Array,
+    pt_desc: jax.Array,
+    pt_valid: jax.Array,
+    pt_normal: jax.Array,
+    pt_min_dist: jax.Array,
+    pt_max_dist: jax.Array,
+    kp: Keypoints,
+    kp_taken: jax.Array,     # [N] bool keypoints already associated
+    radius_mult: float,      # `th` in the reference (1 normally, larger post-reloc)
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    max_hamming: int = hamming.TH_HIGH,
+):
+    """Project local map points and match to free keypoints.
+
+    Radius per point: 2.5 px if viewed head-on (viewCos > 0.998) else 4.0,
+    scaled by the predicted octave and `radius_mult`
+    (ORBmatcher.cc:72-90, SearchByProjection th parameter).
+    -> (FrustumInfo, WindowedMatches over the full candidate array).
+    """
+    info = frustum_check(tcw, pt_pos, pt_valid, pt_normal, pt_min_dist, pt_max_dist,
+                         cam, scale_factor, n_levels)
+    base_r = jnp.where(info.view_cos > 0.998, 2.5, 4.0)
+    radius = base_r * radius_mult * scale_factor ** info.pred_level.astype(jnp.float32)
+    res = match.windowed_match(
+        info.uv, pt_desc, info.visible, radius,
+        jnp.maximum(info.pred_level - 1, 0), info.pred_level,
+        kp, max_dist=max_hamming, ratio=0.8,
+        kp_free=~kp_taken,
+    )
+    return info, res
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "max_hamming"))
+def search_by_projection_last(
+    tcw_pred: jax.Array,
+    last_pt_pos: jax.Array,    # [N, 3] world pos of last frame's points
+    last_pt_valid: jax.Array,  # [N]
+    last_desc: jax.Array,      # [N, 8] descriptors (last frame keypoints)
+    last_octave: jax.Array,    # [N]
+    last_angle: jax.Array,     # [N]
+    kp: Keypoints,
+    radius_px: float,
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    max_hamming: int = hamming.TH_HIGH,
+):
+    """Motion-model tracking search (ORBmatcher::SearchByProjection of the
+    last frame, /root/reference/src/ORBmatcher.cc:1396-1553): project last
+    frame's map points with the predicted pose; window scaled by the last
+    observation's octave; octave window +-1; rotation-consistency filter.
+    -> WindowedMatches."""
+    pc = se3.apply(tcw_pred, last_pt_pos)
+    uv, z = cam.project(pc)
+    visible = last_pt_valid & (z > 0.05) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) \
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    radius = radius_px * scale_factor ** last_octave.astype(jnp.float32)
+    res = match.windowed_match(
+        uv, last_desc, visible, radius,
+        jnp.maximum(last_octave - 1, 0), jnp.minimum(last_octave + 1, n_levels - 1),
+        kp, max_dist=max_hamming,
+    )
+    # rotation-consistency: compare matched keypoint angles
+    matched = res.best_kp >= 0
+    kp_angle = kp.angle[jnp.clip(res.best_kp, 0, kp.n - 1)]
+    keep = hamming.rotation_consistency_mask(last_angle, kp_angle, matched)
+    best_kp = jnp.where(keep, res.best_kp, -1)
+    assoc = match.resolve_conflicts(best_kp, res.best_dist, kp.n)
+    return res._replace(best_kp=best_kp, assoc=assoc)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "max_hamming", "ratio"))
+def search_by_descriptor(
+    q_desc: jax.Array,     # [Q, 8] query descriptors (e.g. ref-KF keypoints)
+    q_valid: jax.Array,    # [Q]
+    q_angle: jax.Array,    # [Q]
+    kp: Keypoints,
+    cam: PinholeCamera,
+    max_hamming: int = hamming.TH_LOW,
+    ratio: float = 0.7,
+):
+    """Global (BoW-free) descriptor match: the dense-matrix equivalent of
+    ORBmatcher::SearchByBoW (/root/reference/src/ORBmatcher.cc:171-303) —
+    the vocabulary's only role there is pruning the candidate set, which the
+    MXU makes unnecessary at N~2k. Ratio test + rotation consistency.
+    -> (best_kp [Q], best_dist [Q])."""
+    dist = hamming.distance_matrix(q_desc, kp.desc, q_valid, kp.valid)
+    best_j, best_d, second_d = hamming.best_and_second(dist)
+    ok = (best_d <= max_hamming) & (
+        best_d.astype(jnp.float32) <= ratio * second_d.astype(jnp.float32))
+    kp_angle = kp.angle[jnp.clip(best_j, 0, kp.n - 1)]
+    keep = hamming.rotation_consistency_mask(q_angle, kp_angle, ok)
+    best_kp = jnp.where(keep, best_j, -1)
+    best_dist = jnp.where(keep, best_d, hamming.INVALID_DIST)
+    assoc = match.resolve_conflicts(best_kp, best_dist, kp.n)
+    q = q_desc.shape[0]
+    won = (best_kp >= 0) & (assoc[jnp.clip(best_kp, 0, kp.n - 1)] == jnp.arange(q))
+    return jnp.where(won, best_kp, -1), best_dist
+
+
+def build_pose_obs_from_frame(
+    frame_kp: Keypoints,
+    frame_ur: jax.Array,
+    matched_pt_pos: jax.Array,   # [N, 3] world position per keypoint slot
+    matched_valid: jax.Array,    # [N] bool keypoint has a map point
+    scale_factor: float = 1.2,
+) -> pose_opt.PoseObs:
+    """Assemble the pose-optimization observation set from per-keypoint
+    associations (stereo rows where uR >= 0)."""
+    uv3 = jnp.concatenate([frame_kp.xy, frame_ur[:, None]], axis=-1)
+    inv_sigma2 = (1.0 / scale_factor ** 2) ** frame_kp.octave.astype(jnp.float32)
+    return pose_opt.PoseObs(
+        pts_w=matched_pt_pos,
+        uv=uv3,
+        inv_sigma2=inv_sigma2,
+        is_stereo=frame_ur >= 0,
+        valid=matched_valid & frame_kp.valid,
+    )

@@ -1,0 +1,436 @@
+"""Tracking front-end: per-frame pose estimation state machine.
+
+Re-design of the reference Tracking thread (/root/reference/src/Tracking.cc).
+The structure mirrors Track() (Tracking.cc:290-559): initialization ->
+motion-model / reference-KF tracking -> local-map tracking -> keyframe
+decision; but every per-point loop is a batched device kernel
+(frontend/kernels.py) and the map is a functional array snapshot instead of
+a mutex-guarded pointer graph.
+
+Round-1 scope: RGB-D and stereo-from-depth pipelines with synchronous local
+mapping; relocalization and monocular init land with the place-recognition
+milestone.
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.backend import pose_opt
+from orbslam2_tpu.frontend import frame as frame_mod
+from orbslam2_tpu.frontend import kernels
+from orbslam2_tpu.geometry.camera import PinholeCamera
+from orbslam2_tpu.ops.orb import ORBConfig, ORBExtractor
+from orbslam2_tpu.slammap import covisibility
+from orbslam2_tpu.slammap.mapstate import MapCapacity, MapState
+
+
+class TrackingState(enum.Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclasses.dataclass
+class SLAMConfig:
+    cam: PinholeCamera
+    orb: ORBConfig = dataclasses.field(default_factory=ORBConfig)
+    th_depth: float = 3.0           # meters; reference mThDepth = baseline*ThDepth
+    max_keyframes: int = 256
+    max_points: int = 16384
+    local_point_cap: int = 4096
+    min_frames_between_kf: int = 0  # mMinFrames (Tracking.cc:1219)
+    max_frames_between_kf: int = 30  # mMaxFrames = fps
+    min_init_features: int = 500    # stereo/RGBD init gate (Tracking.cc:565)
+    max_new_points_per_kf: int = 100  # close-point budget (Tracking.cc:1382)
+    localization_only: bool = False
+
+
+@dataclasses.dataclass
+class FrameTrajectoryEntry:
+    """Relative-pose bookkeeping for trajectory export, mirroring
+    mlRelativeFramePoses / mlpReferences (Tracking.h:108-111)."""
+    tcr: np.ndarray       # frame pose relative to its reference keyframe
+    ref_kf: int
+    timestamp: float
+    lost: bool
+
+
+class Tracker:
+    def __init__(self, config: SLAMConfig, map_state: Optional[MapState] = None,
+                 local_mapper=None):
+        self.cfg = config
+        self.cam = config.cam
+        self.extractor = ORBExtractor(config.orb, (config.cam.height, config.cam.width))
+        import jax
+        self._extract_jit = jax.jit(self.extractor.__call__)
+        self.map = map_state or MapState(MapCapacity(
+            config.max_keyframes, config.max_points, self.extractor.n_total))
+        self.local_mapper = local_mapper  # set by System; called per new KF
+        self.state = TrackingState.NO_IMAGES_YET
+        self.last_frame: Optional[frame_mod.Frame] = None
+        self.velocity: Optional[np.ndarray] = None   # Tcl: last->current
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.frame_counter = 0
+        self.trajectory: list[FrameTrajectoryEntry] = []
+        self.matches_inliers = 0
+        self._covis_w: Optional[np.ndarray] = None
+        self.last_reloc_frame_id: int = -1000000
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        fr = frame_mod.build_frame_rgbd(
+            self.frame_counter, timestamp, gray, depth, self.extractor, self.cam,
+            extract_fn=self._extract_jit)
+        self.frame_counter += 1
+        return self._track(fr)
+
+    def track_mono(self, gray: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        fr = frame_mod.build_frame_mono(
+            self.frame_counter, timestamp, gray, self.extractor, self.cam,
+            extract_fn=self._extract_jit)
+        self.frame_counter += 1
+        return self._track(fr)
+
+    # ------------------------------------------------------------------
+    # main state machine (Tracking::Track, Tracking.cc:290-559)
+    # ------------------------------------------------------------------
+    def _track(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
+        if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
+            self.state = TrackingState.NOT_INITIALIZED
+            ok = self._stereo_initialization(fr)
+            if ok:
+                self.state = TrackingState.OK
+            self._record_trajectory(fr, lost=not ok)
+            self.last_frame = fr
+            return fr.tcw.copy() if ok else None
+
+        ok = False
+        if self.state == TrackingState.OK:
+            self._update_last_frame()
+            if self.velocity is not None:
+                ok = self._track_with_motion_model(fr)
+            if not ok:
+                ok = self._track_reference_keyframe(fr)
+        else:
+            ok = self._relocalize(fr)
+
+        if ok and not self.cfg.localization_only:
+            ok = self._track_local_map(fr)
+        elif ok:
+            ok = self._track_local_map(fr)
+
+        if ok:
+            self.state = TrackingState.OK
+            if self.last_frame is not None:
+                self.velocity = fr.tcw @ np.linalg.inv(self.last_frame.tcw)
+            if not self.cfg.localization_only and self._need_new_keyframe(fr):
+                self._create_new_keyframe(fr)
+        else:
+            self.state = TrackingState.LOST
+            self.velocity = None
+
+        self._record_trajectory(fr, lost=not ok)
+        self.last_frame = fr
+        return fr.tcw.copy() if ok else None
+
+    # ------------------------------------------------------------------
+    # initialization (Tracking::StereoInitialization, Tracking.cc:562-614)
+    # ------------------------------------------------------------------
+    def _stereo_initialization(self, fr: frame_mod.Frame) -> bool:
+        depth = np.asarray(fr.depth)
+        valid = np.asarray(fr.kp.valid)
+        n_usable = int(valid.sum())
+        if n_usable < self.cfg.min_init_features:
+            return False
+        fr.tcw = np.eye(4, dtype=np.float32)
+        kf = self._insert_keyframe(fr)
+        # create a map point for every keypoint with positive depth
+        xy = np.asarray(fr.kp.xy)
+        desc = np.asarray(fr.kp.desc)
+        has_d = valid & (depth > 0)
+        import jax.numpy as jnp_
+        pts_cam = np.asarray(self.cam.backproject(jnp_.asarray(xy), jnp_.asarray(depth)))
+        new_pts = []
+        for i in np.where(has_d)[0]:
+            pid = self.map.add_point(pts_cam[i], desc[i], kf, fr.frame_id)
+            self.map.add_observation(kf, i, pid)
+            fr.pt_ids[i] = pid
+            new_pts.append(pid)
+        self.map.update_point_descriptor_and_normal(
+            np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+        self.ref_kf = kf
+        self.last_kf_frame_id = fr.frame_id
+        self._covis_w = covisibility.weight_matrix(self.map)
+        if self.local_mapper is not None:
+            self.local_mapper.on_first_keyframe(kf)
+        return True
+
+    # ------------------------------------------------------------------
+    def _update_last_frame(self) -> None:
+        """Refresh last frame's pose from its reference keyframe
+        (Tracking::UpdateLastFrame, Tracking.cc:949-961; the VO temporal-point
+        machinery of localization mode is handled separately)."""
+        if not self.trajectory:
+            return
+        entry = self.trajectory[-1]
+        if entry.ref_kf >= 0 and self.map.kf_valid[entry.ref_kf]:
+            self.last_frame.tcw = entry.tcr @ self.map.kf_pose[entry.ref_kf]
+
+    # ------------------------------------------------------------------
+    # motion-model tracking (Tracking.cc:1036-1123)
+    # ------------------------------------------------------------------
+    def _track_with_motion_model(self, fr: frame_mod.Frame) -> bool:
+        last = self.last_frame
+        tcw_pred = (self.velocity @ last.tcw).astype(np.float32)
+        last_pt = last.pt_ids
+        has_pt = (last_pt >= 0) & self.map.pt_valid[np.maximum(last_pt, 0)]
+        if has_pt.sum() < 10:
+            return False
+        pos = np.zeros((last.n, 3), np.float32)
+        pos[has_pt] = self.map.pt_pos[last_pt[has_pt]]
+
+        res = kernels.search_by_projection_last(
+            jnp.asarray(tcw_pred), jnp.asarray(pos), jnp.asarray(has_pt),
+            last.kp.desc, last.kp.octave, last.kp.angle,
+            fr.kp, 15.0, self.cam,
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+        assoc = np.asarray(res.assoc)  # [N_cur] -> last-frame slot
+        n_matches = int((assoc >= 0).sum())
+        if n_matches < 20:
+            # widen the window once (reference retries with 2*th)
+            res = kernels.search_by_projection_last(
+                jnp.asarray(tcw_pred), jnp.asarray(pos), jnp.asarray(has_pt),
+                last.kp.desc, last.kp.octave, last.kp.angle,
+                fr.kp, 30.0, self.cam,
+                self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+            assoc = np.asarray(res.assoc)
+            if (assoc >= 0).sum() < 20:
+                return False
+
+        fr.pt_ids[:] = -1
+        m = assoc >= 0
+        fr.pt_ids[m] = last_pt[assoc[m]]
+        fr.tcw = tcw_pred
+        return self._optimize_frame_pose(fr, min_inliers=10)
+
+    # ------------------------------------------------------------------
+    # reference-KF tracking (Tracking.cc:891-947)
+    # ------------------------------------------------------------------
+    def _track_reference_keyframe(self, fr: frame_mod.Frame) -> bool:
+        kf = self.ref_kf
+        if kf < 0 or not self.map.kf_valid[kf]:
+            return False
+        kf_pt = self.map.kf_pt[kf]
+        q_valid = (kf_pt >= 0) & self.map.kf_kp_valid[kf]
+        best_kp, _ = kernels.search_by_descriptor(
+            jnp.asarray(self.map.kf_kp_desc[kf]), jnp.asarray(q_valid),
+            jnp.asarray(self.map.kf_kp_angle[kf]), fr.kp, self.cam)
+        best_kp = np.asarray(best_kp)  # [Q] -> current kp slot
+        n_matches = int((best_kp >= 0).sum())
+        if n_matches < 15:
+            return False
+        fr.pt_ids[:] = -1
+        for q in np.where(best_kp >= 0)[0]:
+            fr.pt_ids[best_kp[q]] = kf_pt[q]
+        fr.tcw = self.last_frame.tcw.copy()
+        return self._optimize_frame_pose(fr, min_inliers=10)
+
+    # ------------------------------------------------------------------
+    def _relocalize(self, fr: frame_mod.Frame) -> bool:
+        """Placeholder until the place-recognition milestone: try the
+        reference keyframe, mirroring a single-candidate relocalization."""
+        fr.tcw = self.last_frame.tcw.copy() if self.last_frame is not None else np.eye(4, np.float32)
+        ok = self._track_reference_keyframe(fr)
+        if ok:
+            self.last_reloc_frame_id = fr.frame_id
+        return ok
+
+    # ------------------------------------------------------------------
+    # local-map tracking (Tracking.cc:1125-1188, 1403-1614)
+    # ------------------------------------------------------------------
+    def _track_local_map(self, fr: frame_mod.Frame) -> bool:
+        w = self._covis_w if self._covis_w is not None else covisibility.weight_matrix(self.map)
+        local_kfs, ref_kf = covisibility.local_keyframes(self.map, fr.pt_ids, w)
+        if ref_kf >= 0:
+            self.ref_kf = ref_kf
+        pt_ids = covisibility.local_points(self.map, local_kfs)
+        cap = self.cfg.local_point_cap
+        if len(pt_ids) > cap:
+            pt_ids = pt_ids[:cap]
+        c = cap
+        pos = np.zeros((c, 3), np.float32)
+        desc = np.zeros((c, 8), np.uint32)
+        valid = np.zeros(c, bool)
+        normal = np.zeros((c, 3), np.float32)
+        dmin = np.zeros(c, np.float32)
+        dmax = np.zeros(c, np.float32)
+        n_local = len(pt_ids)
+        pos[:n_local] = self.map.pt_pos[pt_ids]
+        desc[:n_local] = self.map.pt_desc[pt_ids]
+        valid[:n_local] = True
+        normal[:n_local] = self.map.pt_normal[pt_ids]
+        dmin[:n_local] = self.map.pt_min_dist[pt_ids]
+        dmax[:n_local] = self.map.pt_max_dist[pt_ids]
+        # don't re-match points already associated by motion-model tracking
+        already = np.isin(pt_ids, fr.pt_ids[fr.pt_ids >= 0])
+        valid[:n_local] &= ~already
+        kp_taken = fr.pt_ids >= 0
+
+        radius_mult = 3.0 if fr.frame_id - self.last_reloc_frame_id < 2 else 1.0
+        info, res = kernels.search_local_points(
+            jnp.asarray(fr.tcw), jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+            jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+            fr.kp, jnp.asarray(kp_taken), radius_mult, self.cam,
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+        assoc = np.asarray(res.assoc)  # [N_kp] -> candidate row
+        newly = assoc >= 0
+        fr.pt_ids[newly] = pt_ids[assoc[newly]]
+
+        # visibility counters (SearchLocalPoints, Tracking.cc:1403-1483)
+        visible_rows = np.asarray(info.visible)[:n_local]
+        self.map.increase_visible(pt_ids[visible_rows])
+
+        ok = self._optimize_frame_pose(fr, min_inliers=30 if
+                                       fr.frame_id - self.last_reloc_frame_id > 30 else 50)
+        if ok:
+            tracked = fr.pt_ids[(fr.pt_ids >= 0) & ~fr.is_outlier]
+            self.map.increase_found(tracked)
+        return ok
+
+    # ------------------------------------------------------------------
+    def _optimize_frame_pose(self, fr: frame_mod.Frame, min_inliers: int) -> bool:
+        has_pt = fr.pt_ids >= 0
+        if has_pt.sum() < 4:
+            return False
+        pos = np.zeros((fr.n, 3), np.float32)
+        pos[has_pt] = self.map.pt_pos[fr.pt_ids[has_pt]]
+        obs = kernels.build_pose_obs_from_frame(
+            fr.kp, fr.ur, jnp.asarray(pos), jnp.asarray(has_pt),
+            self.cfg.orb.scale_factor)
+        tcw, inlier, n_in = pose_opt.pose_optimization(
+            jnp.asarray(fr.tcw), obs, self.cam)
+        n_in = int(n_in)
+        inlier = np.asarray(inlier)
+        fr.is_outlier = has_pt & ~inlier
+        # drop outlier associations (reference clears them after pose opt,
+        # Tracking.cc:1100-1119)
+        fr.pt_ids[fr.is_outlier] = -1
+        self.matches_inliers = n_in
+        if n_in < min_inliers:
+            return False
+        fr.tcw = np.asarray(tcw)
+        return True
+
+    # ------------------------------------------------------------------
+    # keyframe decision (Tracking::NeedNewKeyFrame, Tracking.cc:1190-1300)
+    # ------------------------------------------------------------------
+    def _need_new_keyframe(self, fr: frame_mod.Frame) -> bool:
+        n_kfs = self.map.n_keyframes()
+        if n_kfs >= self.cfg.max_keyframes - 2:
+            return False
+        # reference tracked-point count in the reference keyframe
+        min_obs = 3 if n_kfs > 2 else 2
+        obs_count = self.map.point_obs_count()
+        ref_pts = self.map.kf_pt[self.ref_kf]
+        ref_tracked = int(((ref_pts >= 0) & (obs_count[np.maximum(ref_pts, 0)] >= min_obs)).sum())
+
+        # close-point statistics (RGBD/stereo, Tracking.cc:1229-1247)
+        depth = np.asarray(fr.depth)
+        close = (depth > 0) & (depth < self.cfg.th_depth)
+        tracked_close = int((close & (fr.pt_ids >= 0) & ~fr.is_outlier).sum())
+        non_tracked_close = int((close & (fr.pt_ids < 0)).sum())
+        need_close = tracked_close < 100 and non_tracked_close > 70
+
+        frames_since_kf = fr.frame_id - self.last_kf_frame_id
+        c1a = frames_since_kf >= self.cfg.max_frames_between_kf
+        c1b = frames_since_kf >= self.cfg.min_frames_between_kf
+        th_ref = 0.75 if n_kfs > 2 else 0.4
+        c2 = (self.matches_inliers < ref_tracked * th_ref or need_close) \
+            and self.matches_inliers > 15
+        return bool((c1a or (c1b and c2)) and c2) or (c1b and need_close and self.matches_inliers > 15)
+
+    # ------------------------------------------------------------------
+    # keyframe creation (Tracking::CreateNewKeyFrame, Tracking.cc:1306-1389)
+    # ------------------------------------------------------------------
+    def _create_new_keyframe(self, fr: frame_mod.Frame) -> None:
+        kf = self._insert_keyframe(fr)
+        self.ref_kf = kf
+        self.last_kf_frame_id = fr.frame_id
+        # existing associations become observations
+        for i in np.where(fr.pt_ids >= 0)[0]:
+            if self.map.pt_valid[fr.pt_ids[i]]:
+                self.map.add_observation(kf, i, int(fr.pt_ids[i]))
+        # RGBD/stereo: spawn points for the closest unmatched keypoints
+        depth = np.asarray(fr.depth)
+        valid = np.asarray(fr.kp.valid)
+        candidates = np.where(valid & (depth > 0) & (fr.pt_ids < 0))[0]
+        if len(candidates):
+            order = candidates[np.argsort(depth[candidates])]
+            xy = np.asarray(fr.kp.xy)
+            desc = np.asarray(fr.kp.desc)
+            pts_cam = np.asarray(self.cam.backproject(
+                jnp.asarray(xy[order]), jnp.asarray(depth[order])))
+            twc = np.linalg.inv(fr.tcw)
+            pts_w = pts_cam @ twc[:3, :3].T + twc[:3, 3]
+            new_pts = []
+            for j, i in enumerate(order):
+                if depth[i] > self.cfg.th_depth and j >= self.cfg.max_new_points_per_kf:
+                    break
+                pid = self.map.add_point(pts_w[j], desc[i], kf, fr.frame_id)
+                self.map.add_observation(kf, i, pid)
+                fr.pt_ids[i] = pid
+                new_pts.append(pid)
+            self.map.update_point_descriptor_and_normal(
+                np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+        self._covis_w = covisibility.weight_matrix(self.map)
+        covisibility.assign_spanning_parent(self.map, self._covis_w, kf)
+        if self.local_mapper is not None:
+            self.local_mapper.process_keyframe(kf)
+            self._covis_w = covisibility.weight_matrix(self.map)
+
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, fr: frame_mod.Frame) -> int:
+        return self.map.add_keyframe(
+            pose=fr.tcw,
+            timestamp=fr.timestamp,
+            frame_id=fr.frame_id,
+            kp_xy=np.asarray(fr.kp.xy),
+            kp_octave=np.asarray(fr.kp.octave),
+            kp_angle=np.asarray(fr.kp.angle),
+            kp_response=np.asarray(fr.kp.response),
+            kp_desc=np.asarray(fr.kp.desc),
+            kp_valid=np.asarray(fr.kp.valid),
+            kp_ur=np.asarray(fr.ur),
+            kp_depth=np.asarray(fr.depth),
+        )
+
+    # ------------------------------------------------------------------
+    def _record_trajectory(self, fr: frame_mod.Frame, lost: bool) -> None:
+        if self.ref_kf >= 0 and self.map.kf_valid[self.ref_kf]:
+            tcr = fr.tcw @ np.linalg.inv(self.map.kf_pose[self.ref_kf])
+        else:
+            tcr = np.eye(4, dtype=np.float32)
+        self.trajectory.append(FrameTrajectoryEntry(
+            tcr=tcr.astype(np.float32), ref_kf=self.ref_kf,
+            timestamp=fr.timestamp, lost=lost))
+
+    def full_trajectory_twc(self) -> np.ndarray:
+        """Recover all frame poses through their reference keyframes
+        (System::SaveTrajectoryTUM logic, System.cc:353-415)."""
+        out = []
+        for e in self.trajectory:
+            if e.ref_kf < 0:
+                out.append(np.eye(4, dtype=np.float32))
+                continue
+            tcw = e.tcr @ self.map.kf_pose[e.ref_kf]
+            out.append(np.linalg.inv(tcw).astype(np.float32))
+        return np.stack(out)

@@ -1,0 +1,191 @@
+"""Synthetic textured-world RGB-D/stereo/mono sequence generator.
+
+The reference has no test suite and validates end-to-end on TUM/KITTI/EuRoC
+datasets (SURVEY.md §4). Those datasets are not available in this
+environment, so the e2e harness renders its own ground-truth world: textured
+planes viewed by a moving pinhole camera, with analytic depth. Corner-dense
+textures give the ORB front-end realistic structure; ground-truth poses give
+exact ATE numbers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+
+from orbslam2_tpu.geometry.camera import PinholeCamera
+
+
+def make_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
+    """Corner-rich grayscale texture: blurred noise + random rectangles."""
+    import cv2
+
+    tex = rng.uniform(40, 90, size=(size, size)).astype(np.float32)
+    tex = cv2.GaussianBlur(tex, (0, 0), 2.0)
+    n_rects = size * size // 2048
+    for _ in range(n_rects):
+        x, y = rng.integers(0, size - 40, size=2)
+        w, h = rng.integers(8, 40, size=2)
+        val = rng.uniform(0, 255)
+        tex[y:y + h, x:x + w] = 0.7 * tex[y:y + h, x:x + w] + 0.3 * val
+        tex[y:y + h, x:x + w] += rng.uniform(-60, 60)
+    return np.clip(tex, 0, 255)
+
+
+@dataclasses.dataclass
+class Plane:
+    """Textured plane: point q, unit normal n (towards cameras), in-plane
+    axes (ex, ey) carrying the texture at `scale` meters/texel."""
+    q: np.ndarray
+    n: np.ndarray
+    ex: np.ndarray
+    ey: np.ndarray
+    tex: np.ndarray
+    scale: float = 0.01
+
+
+class SyntheticSequence:
+    """Renders gray + depth images of a plane world along a trajectory.
+
+    World frame = first camera frame. Default world: a wall 3 m ahead plus
+    a floor, both textured. Trajectories:
+    - "lateral": sideways arc with yaw, good for stereo/RGBD tracking
+    - "forward": dolly towards the wall
+    - "orbit": small orbit keeping the wall centered (loop-friendly)
+    """
+
+    def __init__(
+        self,
+        cam: PinholeCamera,
+        n_frames: int = 60,
+        trajectory: str = "lateral",
+        seed: int = 0,
+        fps: float = 30.0,
+        loop: bool = False,
+    ):
+        self.cam = cam
+        self.n_frames = n_frames
+        self.fps = fps
+        rng = np.random.default_rng(seed)
+        wall_tex = make_texture(rng, 1024)
+        floor_tex = make_texture(rng, 1024)
+        # wall: z = 3, spans ~10x10 m; floor: y = 1.2 (camera looks +z, y down)
+        self.planes = [
+            Plane(
+                q=np.array([0.0, 0.0, 3.0], np.float32),
+                n=np.array([0.0, 0.0, -1.0], np.float32),
+                ex=np.array([1.0, 0.0, 0.0], np.float32),
+                ey=np.array([0.0, 1.0, 0.0], np.float32),
+                tex=wall_tex,
+                scale=0.008,
+            ),
+            Plane(
+                q=np.array([0.0, 1.2, 0.0], np.float32),
+                n=np.array([0.0, -1.0, 0.0], np.float32),
+                ex=np.array([1.0, 0.0, 0.0], np.float32),
+                ey=np.array([0.0, 0.0, 1.0], np.float32),
+                tex=floor_tex,
+                scale=0.01,
+            ),
+        ]
+        self.poses = self._make_trajectory(trajectory, n_frames, loop)
+
+    # ------------------------------------------------------------------
+    def _make_trajectory(self, kind: str, n: int, loop: bool) -> np.ndarray:
+        """-> [n, 4, 4] ground-truth Tcw (world -> camera)."""
+        from orbslam2_tpu.geometry import se3
+        import jax.numpy as jnp
+
+        poses = []
+        for i in range(n):
+            t = i / max(n - 1, 1)
+            if kind == "lateral":
+                x = 0.8 * np.sin(2 * np.pi * t * (1.0 if loop else 0.5))
+                z = 0.25 * np.sin(4 * np.pi * t) * (0.0 if loop else 1.0)
+                yaw = 0.25 * np.sin(2 * np.pi * t * (1.0 if loop else 0.5))
+                twc_t = np.array([x, 0.05 * np.sin(4 * np.pi * t), z])
+                rvec = np.array([0.0, yaw, 0.0])
+            elif kind == "forward":
+                twc_t = np.array([0.15 * np.sin(2 * np.pi * t), 0.0, 1.5 * t])
+                rvec = np.array([0.0, 0.08 * np.sin(2 * np.pi * t), 0.0])
+            else:  # orbit
+                ang = 2 * np.pi * t
+                twc_t = np.array([0.5 * np.sin(ang), 0.0, 0.5 * (1 - np.cos(ang))])
+                rvec = np.array([0.0, 0.35 * np.sin(ang), 0.0])
+            r = np.asarray(se3.so3_exp(jnp.asarray(rvec.astype(np.float32))))
+            twc = np.eye(4, dtype=np.float32)
+            twc[:3, :3] = r
+            twc[:3, 3] = twc_t
+            tcw = np.linalg.inv(twc)
+            poses.append(tcw.astype(np.float32))
+        return np.stack(poses)
+
+    # ------------------------------------------------------------------
+    def render(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """-> (gray [H, W] float32 0..255, depth [H, W] float32 meters;
+        depth <= 0 where no surface)."""
+        cam = self.cam
+        tcw = self.poses[i]
+        twc = np.linalg.inv(tcw)
+        rwc, owc = twc[:3, :3], twc[:3, 3]
+
+        h, w = cam.height, cam.width
+        us, vs = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
+        dirs_c = np.stack(
+            [(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy, np.ones_like(us)], axis=-1
+        )
+        dirs_w = dirs_c @ rwc.T  # [H, W, 3]
+
+        depth = np.full((h, w), np.inf, np.float32)
+        gray = np.zeros((h, w), np.float32)
+        for plane in self.planes:
+            denom = dirs_w @ plane.n
+            num = (plane.q - owc) @ plane.n
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = num / denom  # ray parameter (world units along dir_w)
+            hit = (s > 0.05) & np.isfinite(s)
+            # camera-frame depth = s * dir_c.z = s (dir_c.z == 1)
+            z = np.where(hit, s, np.inf).astype(np.float32)
+            closer = z < depth
+            if not closer.any():
+                continue
+            s_safe = np.where(hit, s, 1.0)
+            pts_w = owc[None, None, :] + s_safe[..., None] * dirs_w
+            tu = ((pts_w - plane.q) @ plane.ex) / plane.scale
+            tv = ((pts_w - plane.q) @ plane.ey) / plane.scale
+            th, tw = plane.tex.shape
+            tu = np.mod(tu, tw - 1)
+            tv = np.mod(tv, th - 1)
+            u0 = np.floor(tu).astype(np.int32)
+            v0 = np.floor(tv).astype(np.int32)
+            fu = tu - u0
+            fv = tv - v0
+            t00 = plane.tex[v0, u0]
+            t01 = plane.tex[v0, np.minimum(u0 + 1, tw - 1)]
+            t10 = plane.tex[np.minimum(v0 + 1, th - 1), u0]
+            t11 = plane.tex[np.minimum(v0 + 1, th - 1), np.minimum(u0 + 1, tw - 1)]
+            val = (t00 * (1 - fu) + t01 * fu) * (1 - fv) + (t10 * (1 - fu) + t11 * fu) * fv
+            sel = closer & hit
+            gray[sel] = val[sel]
+            depth[sel] = z[sel]
+
+        depth[~np.isfinite(depth)] = -1.0
+        return gray, depth
+
+    def timestamps(self) -> np.ndarray:
+        return np.arange(self.n_frames) / self.fps
+
+    def render_stereo(self, i: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """-> (left, right, depth_left). Right camera offset by +baseline in x."""
+        left, depth = self.render(i)
+        baseline = self.cam.baseline
+        tcw = self.poses[i].copy()
+        # right camera: x_right = x_left - b in camera frame
+        shift = np.eye(4, dtype=np.float32)
+        shift[0, 3] = -baseline
+        saved = self.poses[i]
+        self.poses[i] = shift @ tcw
+        right, _ = self.render(i)
+        self.poses[i] = saved
+        return left, right, depth

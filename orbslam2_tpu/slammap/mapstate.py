@@ -1,0 +1,248 @@
+"""Global map state: fixed-capacity structure-of-arrays with validity masks.
+
+Replaces the reference's pointer-graph map (Map/KeyFrame/MapPoint,
+/root/reference/src/Map.cc, KeyFrame.cc, MapPoint.cc) and its mutex
+protocol with a flat array store:
+
+- keyframe slot k <-> reference KeyFrame object; per-KF keypoint arrays are
+  the immutable Frame copies (KeyFrame.h:120-189)
+- point slot p <-> reference MapPoint; the kf_pt association array IS the
+  observation map (MapPoint.h:119-122 mObservations) in inverse form:
+  kf_pt[k, i] = point observed by keypoint i of keyframe k (or -1)
+- culling = clearing validity bits; slots are recycled via a free list
+
+Host-side bookkeeping is numpy (cheap, O(K*N) scans); device kernels get
+padded array views. Tracking reads a *snapshot* of these arrays, which
+replaces the reference's mMutexMapUpdate global lock (Map.h:64).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from orbslam2_tpu.ops.orb import DESC_WORDS
+
+
+@dataclasses.dataclass
+class MapCapacity:
+    max_keyframes: int = 256
+    max_points: int = 16384
+    n_features: int = 1024
+
+
+class MapState:
+    """Mutable host-side SLAM map over fixed-capacity arrays."""
+
+    def __init__(self, cap: MapCapacity):
+        self.cap = cap
+        k, p, n = cap.max_keyframes, cap.max_points, cap.n_features
+
+        # --- keyframes -------------------------------------------------
+        self.kf_valid = np.zeros(k, bool)
+        self.kf_pose = np.tile(np.eye(4, dtype=np.float32), (k, 1, 1))  # Tcw
+        self.kf_timestamp = np.zeros(k, np.float64)
+        self.kf_frame_id = np.full(k, -1, np.int64)   # source frame index
+        self.kf_kp_xy = np.zeros((k, n, 2), np.float32)    # undistorted, level-0
+        self.kf_kp_octave = np.zeros((k, n), np.int32)
+        self.kf_kp_angle = np.zeros((k, n), np.float32)
+        self.kf_kp_response = np.zeros((k, n), np.float32)
+        self.kf_kp_desc = np.zeros((k, n, DESC_WORDS), np.uint32)
+        self.kf_kp_valid = np.zeros((k, n), bool)
+        self.kf_kp_ur = np.full((k, n), -1.0, np.float32)  # virtual right u; <0 = mono
+        self.kf_kp_depth = np.full((k, n), -1.0, np.float32)
+        self.kf_pt = np.full((k, n), -1, np.int32)         # keypoint -> point id
+        # spanning tree (KeyFrame.h:60-81): parent kf id, -1 for root
+        self.kf_parent = np.full(k, -1, np.int32)
+        # loop edges (KeyFrame.cc:454-465)
+        self.kf_loop_edges: List[set] = [set() for _ in range(k)]
+        # monotonically increasing insertion order (KeyFrame mnId analogue)
+        self.kf_order = np.full(k, -1, np.int64)
+        self._kf_counter = 0
+
+        # --- map points ------------------------------------------------
+        self.pt_valid = np.zeros(p, bool)
+        self.pt_pos = np.zeros((p, 3), np.float32)
+        self.pt_desc = np.zeros((p, DESC_WORDS), np.uint32)
+        self.pt_normal = np.zeros((p, 3), np.float32)
+        self.pt_min_dist = np.zeros(p, np.float32)
+        self.pt_max_dist = np.zeros(p, np.float32)
+        self.pt_ref_kf = np.full(p, -1, np.int32)
+        self.pt_first_kf = np.full(p, -1, np.int32)
+        self.pt_visible = np.zeros(p, np.int32)   # MapPoint::mnVisible
+        self.pt_found = np.zeros(p, np.int32)     # MapPoint::mnFound
+        self.pt_first_frame = np.full(p, -1, np.int64)
+
+        self._kf_free: List[int] = list(range(k - 1, -1, -1))
+        self._pt_free: List[int] = list(range(p - 1, -1, -1))
+        # "big change" counter (Map::InformNewBigChange, Map.cc:70-81)
+        self.change_index = 0
+
+    # ------------------------------------------------------------------
+    # allocation
+    # ------------------------------------------------------------------
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    def n_points(self) -> int:
+        return int(self.pt_valid.sum())
+
+    def keyframe_ids(self) -> np.ndarray:
+        """Valid keyframe slots in insertion order."""
+        ids = np.where(self.kf_valid)[0]
+        return ids[np.argsort(self.kf_order[ids])]
+
+    def add_keyframe(
+        self,
+        pose: np.ndarray,
+        timestamp: float,
+        frame_id: int,
+        kp_xy: np.ndarray,
+        kp_octave: np.ndarray,
+        kp_angle: np.ndarray,
+        kp_response: np.ndarray,
+        kp_desc: np.ndarray,
+        kp_valid: np.ndarray,
+        kp_ur: np.ndarray,
+        kp_depth: np.ndarray,
+    ) -> int:
+        if not self._kf_free:
+            raise RuntimeError("keyframe capacity exhausted")
+        k = self._kf_free.pop()
+        self.kf_valid[k] = True
+        self.kf_pose[k] = pose
+        self.kf_timestamp[k] = timestamp
+        self.kf_frame_id[k] = frame_id
+        self.kf_kp_xy[k] = kp_xy
+        self.kf_kp_octave[k] = kp_octave
+        self.kf_kp_angle[k] = kp_angle
+        self.kf_kp_response[k] = kp_response
+        self.kf_kp_desc[k] = kp_desc
+        self.kf_kp_valid[k] = kp_valid
+        self.kf_kp_ur[k] = kp_ur
+        self.kf_kp_depth[k] = kp_depth
+        self.kf_pt[k] = -1
+        self.kf_parent[k] = -1
+        self.kf_loop_edges[k] = set()
+        self.kf_order[k] = self._kf_counter
+        self._kf_counter += 1
+        return k
+
+    def add_point(
+        self,
+        pos: np.ndarray,
+        desc: np.ndarray,
+        ref_kf: int,
+        frame_id: int,
+        normal: Optional[np.ndarray] = None,
+        min_dist: float = 0.0,
+        max_dist: float = 0.0,
+    ) -> int:
+        if not self._pt_free:
+            raise RuntimeError("map point capacity exhausted")
+        p = self._pt_free.pop()
+        self.pt_valid[p] = True
+        self.pt_pos[p] = pos
+        self.pt_desc[p] = desc
+        self.pt_ref_kf[p] = ref_kf
+        self.pt_first_kf[p] = ref_kf
+        self.pt_normal[p] = normal if normal is not None else np.zeros(3, np.float32)
+        self.pt_min_dist[p] = min_dist
+        self.pt_max_dist[p] = max_dist
+        self.pt_visible[p] = 1
+        self.pt_found[p] = 1
+        self.pt_first_frame[p] = frame_id
+        return p
+
+    # ------------------------------------------------------------------
+    # observations
+    # ------------------------------------------------------------------
+    def add_observation(self, kf: int, slot: int, pt: int) -> None:
+        self.kf_pt[kf, slot] = pt
+
+    def erase_observation(self, kf: int, slot_or_pt: int, by_point: bool = False) -> None:
+        if by_point:
+            slots = np.where(self.kf_pt[kf] == slot_or_pt)[0]
+            self.kf_pt[kf, slots] = -1
+        else:
+            self.kf_pt[kf, slot_or_pt] = -1
+
+    def point_observations(self, pt: int) -> List[Tuple[int, int]]:
+        """-> [(kf, slot)] over valid keyframes."""
+        ks, slots = np.where(self.kf_pt == pt)
+        return [(int(k), int(s)) for k, s in zip(ks, slots) if self.kf_valid[k]]
+
+    def point_obs_count(self) -> np.ndarray:
+        """[P] number of keyframe observations per point (vectorized)."""
+        p = self.cap.max_points
+        counts = np.zeros(p + 1, np.int64)
+        obs = self.kf_pt[self.kf_valid]
+        flat = obs[obs >= 0]
+        np.add.at(counts, flat, 1)
+        return counts[:p]
+
+    def erase_point(self, pt: int) -> None:
+        """MapPoint::SetBadFlag (/root/reference/src/MapPoint.cc:119-148)."""
+        self.kf_pt[self.kf_pt == pt] = -1
+        self.pt_valid[pt] = False
+        self._pt_free.append(pt)
+
+    def replace_point(self, old: int, new: int) -> None:
+        """MapPoint::Replace (/root/reference/src/MapPoint.cc:190-232):
+        redirect all observations of `old` to `new`, keeping at most one
+        observation per keyframe, then kill `old`."""
+        ks, slots = np.where(self.kf_pt == old)
+        for k, s in zip(ks, slots):
+            if (self.kf_pt[k] == new).any():
+                self.kf_pt[k, s] = -1  # kf already sees `new`
+            else:
+                self.kf_pt[k, s] = new
+        self.pt_found[new] += self.pt_found[old]
+        self.pt_visible[new] += self.pt_visible[old]
+        self.pt_valid[old] = False
+        self._pt_free.append(old)
+
+    def erase_keyframe(self, kf: int) -> None:
+        """KeyFrame::SetBadFlag (/root/reference/src/KeyFrame.cc:489-580):
+        drop observations; re-parent children to this KF's parent."""
+        self.kf_pt[kf] = -1
+        children = np.where(self.kf_parent == kf)[0]
+        self.kf_parent[children] = self.kf_parent[kf]
+        self.kf_valid[kf] = False
+        self.kf_order[kf] = -1
+        self._kf_free.append(kf)
+
+    # ------------------------------------------------------------------
+    # derived quantities
+    # ------------------------------------------------------------------
+    def incidence(self) -> np.ndarray:
+        """[K, P] bool: keyframe k observes point p."""
+        k, p = self.cap.max_keyframes, self.cap.max_points
+        inc = np.zeros((k, p), bool)
+        kk, slots = np.where(self.kf_pt >= 0)
+        inc[kk, self.kf_pt[kk, slots]] = True
+        inc[~self.kf_valid] = False
+        inc[:, ~self.pt_valid] = False
+        return inc
+
+    def update_point_descriptor_and_normal(self, pts: np.ndarray, scale_factor: float,
+                                           n_levels: int) -> None:
+        """Batch re-compute representative descriptor (min median Hamming,
+        MapPoint::ComputeDistinctiveDescriptors MapPoint.cc:266-340) and
+        viewing normal / scale band (UpdateNormalAndDepth MapPoint.cc:371-421)."""
+        from orbslam2_tpu.slammap import point_stats
+        point_stats.update_points(self, np.asarray(pts, np.int64), scale_factor, n_levels)
+
+    def increase_visible(self, pts: np.ndarray) -> None:
+        self.pt_visible[pts] += 1
+
+    def increase_found(self, pts: np.ndarray) -> None:
+        self.pt_found[pts] += 1
+
+    def found_ratio(self) -> np.ndarray:
+        return self.pt_found / np.maximum(self.pt_visible, 1)
+
+    def clear(self) -> None:
+        """Map::clear (/root/reference/src/Map.cc:117-130)."""
+        self.__init__(self.cap)

@@ -1,5 +1,23 @@
-"""System facade (stub while layers are built bottom-up; completed in frontend milestone)."""
+"""System facade: the public entry point of the framework.
+
+Equivalent of the reference ORB_SLAM2::System (/root/reference/src/System.cc):
+constructs the map, tracker and local mapper, exposes per-sensor track
+calls, the SLAM/localization mode switch, reset, shutdown, and trajectory
+savers. Threads are replaced by the synchronous/async orchestrator inside
+the tracker (System.cc:92-112 thread spawns have no equivalent here by
+design).
+"""
+from __future__ import annotations
+
 import enum
+from typing import Optional
+
+import numpy as np
+
+from orbslam2_tpu.frontend.local_mapping import LocalMapper, LocalMapperConfig
+from orbslam2_tpu.frontend.tracking import SLAMConfig, Tracker, TrackingState
+from orbslam2_tpu.io import trajectory as traj_io
+from orbslam2_tpu.slammap.mapstate import MapCapacity, MapState
 
 
 class Sensor(enum.Enum):
@@ -8,5 +26,87 @@ class Sensor(enum.Enum):
     RGBD = 2
 
 
-class SLAMSystem:  # pragma: no cover - placeholder
-    pass
+class SLAMSystem:
+    def __init__(self, config: SLAMConfig, sensor: Sensor):
+        self.cfg = config
+        self.sensor = sensor
+        self.map = MapState(MapCapacity(
+            config.max_keyframes, config.max_points,
+            # total feature slots as produced by the extractor
+            _n_features(config)))
+        self.local_mapper = LocalMapper(
+            self.map, config.cam,
+            LocalMapperConfig(scale_factor=config.orb.scale_factor,
+                              n_levels=config.orb.n_levels))
+        self.tracker = Tracker(config, self.map, self.local_mapper)
+
+    # ------------------------------------------------------------------
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float
+                   ) -> Optional[np.ndarray]:
+        """-> Tcw or None if tracking failed (System::TrackRGBD, System.cc:183)."""
+        assert self.sensor == Sensor.RGBD
+        return self.tracker.track_rgbd(gray, depth, timestamp)
+
+    def track_monocular(self, gray: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        assert self.sensor == Sensor.MONOCULAR
+        return self.tracker.track_mono(gray, timestamp)
+
+    def track_stereo(self, left: np.ndarray, right: np.ndarray, timestamp: float
+                     ) -> Optional[np.ndarray]:
+        assert self.sensor == Sensor.STEREO
+        return self.tracker.track_stereo(left, right, timestamp)
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self) -> None:
+        """System::ActivateLocalizationMode (System.cc:295): stop mapping,
+        track only."""
+        self.cfg.localization_only = True
+        self.tracker.cfg.localization_only = True
+
+    def deactivate_localization_mode(self) -> None:
+        self.cfg.localization_only = False
+        self.tracker.cfg.localization_only = False
+
+    def reset(self) -> None:
+        """System::Reset (System.cc:320, Tracking.cc:1815)."""
+        self.map.clear()
+        self.tracker.__init__(self.cfg, self.map, self.local_mapper)
+        self.local_mapper.__init__(self.map, self.cfg.cam, self.local_mapper.cfg)
+
+    def shutdown(self) -> None:
+        pass  # no threads to join in the synchronous orchestrator
+
+    # ------------------------------------------------------------------
+    def tracking_state(self) -> TrackingState:
+        return self.tracker.state
+
+    def map_changed(self) -> int:
+        return self.map.change_index
+
+    def get_tracked_points(self) -> np.ndarray:
+        lf = self.tracker.last_frame
+        if lf is None:
+            return np.zeros(0, np.int32)
+        return lf.pt_ids[lf.pt_ids >= 0]
+
+    # ------------------------------------------------------------------
+    def save_trajectory_tum(self, path: str) -> None:
+        twc = self.tracker.full_trajectory_twc()
+        ts = np.array([e.timestamp for e in self.tracker.trajectory])
+        traj_io.save_tum(path, ts, twc)
+
+    def save_keyframe_trajectory_tum(self, path: str) -> None:
+        ids = self.map.keyframe_ids()
+        twc = np.stack([np.linalg.inv(self.map.kf_pose[k]) for k in ids]) \
+            if len(ids) else np.zeros((0, 4, 4), np.float32)
+        ts = self.map.kf_timestamp[ids]
+        traj_io.save_tum(path, ts, twc)
+
+    def save_trajectory_kitti(self, path: str) -> None:
+        twc = self.tracker.full_trajectory_twc()
+        traj_io.save_kitti(path, twc)
+
+
+def _n_features(config: SLAMConfig) -> int:
+    from orbslam2_tpu.ops.orb import ORBExtractor
+    return ORBExtractor(config.orb, (config.cam.height, config.cam.width)).n_total

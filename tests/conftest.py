@@ -20,10 +20,11 @@ import jax  # noqa: E402
 # above are too late for it; override through the config API as well.
 jax.config.update("jax_platforms", "cpu")
 
-# 2-vCPU box: persistent compile cache makes repeat test runs fast.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# NOTE: the persistent compilation cache is intentionally NOT enabled here.
+# In this environment CPU AOT artifacts can be produced by a remote compile
+# service with mismatched host features (+prefer-no-scatter etc.); loading
+# them intermittently SIGSEGVs (see cpu_aot_loader warnings). Fresh local
+# compiles are slower but stable.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
