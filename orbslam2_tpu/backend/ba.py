@@ -171,6 +171,149 @@ def _solve_schur_dense(h_cc, h_pp, b_c, b_p, w_cp, cam_fixed, lam):
     return delta_c, delta_p
 
 
+def _solve_schur_pcg(
+    e, jc, jp, w, obs_cam, obs_pt, n_cams, n_pts, cam_fixed, pt_fixed, lam,
+    pcg_iters: int = 30,
+):
+    """Matrix-free Schur solve: preconditioned conjugate gradients on the
+    reduced camera system, with S*v computed through the observation lists —
+    never materializing S or the [K, P] coupling. This is the path for
+    global-scale BA ("Bundle Adjustment in the Large"-style) and the basis
+    of the multi-chip distributed solver (parallel/dist_ba.py), where the
+    per-observation contractions shard over devices and the segment sums
+    become psums.
+
+    e [O,3], jc [O,3,6], jp [O,3,3], w [O] (weights incl. robust+info,
+    zeroed for inactive observations).
+    -> (delta_c [K,6], delta_p [P,3]).
+    """
+    jc_w = jc * w[:, None, None]
+    h_cc = jnp.zeros((n_cams, 6, 6)).at[obs_cam].add(jnp.einsum("oij,oik->ojk", jc_w, jc))
+    h_pp = jnp.zeros((n_pts, 3, 3)).at[obs_pt].add(
+        jnp.einsum("oij,oik->ojk", jp * w[:, None, None], jp))
+    b_c = jnp.zeros((n_cams, 6)).at[obs_cam].add(-jnp.einsum("oij,oi->oj", jc_w, e))
+    b_p = jnp.zeros((n_pts, 3)).at[obs_pt].add(
+        -jnp.einsum("oij,oi->oj", jp * w[:, None, None], e))
+    b_p = jnp.where(pt_fixed[:, None], 0.0, b_p)
+
+    h_cc_d = h_cc + lam * _diag_only(h_cc) + 1e-8 * jnp.eye(6)
+    h_pp_d = h_pp + lam * _diag_only(h_pp) + 1e-8 * jnp.eye(3)
+    h_pp_d = jnp.where(pt_fixed[:, None, None], jnp.eye(3)[None], h_pp_d)
+    h_pp_inv = jnp.linalg.inv(h_pp_d)
+    h_pp_inv = jnp.where(pt_fixed[:, None, None], 0.0, h_pp_inv)
+
+    free = ~cam_fixed
+
+    def schur_matvec(v):  # v [K, 6]
+        v = jnp.where(free[:, None], v, 0.0)
+        hv = jnp.einsum("kij,kj->ki", h_cc_d, v)
+        # t_o = Jp^T (w Jc v[cam_o])
+        t = jnp.einsum("oij,oi->oj", jp, jnp.einsum("oij,oj->oi", jc_w, v[obs_cam]))
+        u = jnp.zeros((n_pts, 3)).at[obs_pt].add(t)
+        y = jnp.einsum("pij,pj->pi", h_pp_inv, u)
+        s = jnp.einsum("oij,oi->oj", jc_w, jnp.einsum("oij,oj->oi", jp, y[obs_pt]))
+        z = jnp.zeros((n_cams, 6)).at[obs_cam].add(s)
+        out = hv - z
+        return jnp.where(free[:, None], out, v)
+
+    # reduced RHS: b~ = b_c - W Hpp^-1 b_p
+    y0 = jnp.einsum("pij,pj->pi", h_pp_inv, b_p)
+    s0 = jnp.einsum("oij,oi->oj", jc_w, jnp.einsum("oij,oj->oi", jp, y0[obs_pt]))
+    b_red = b_c - jnp.zeros((n_cams, 6)).at[obs_cam].add(s0)
+    b_red = jnp.where(free[:, None], b_red, 0.0)
+
+    # block-Jacobi preconditioner from damped H_cc
+    m_inv = jnp.linalg.inv(h_cc_d + 1e-6 * jnp.eye(6))
+
+    def precond(r):
+        return jnp.where(free[:, None], jnp.einsum("kij,kj->ki", m_inv, r), r)
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    x0 = jnp.zeros_like(b_red)
+    r0 = b_red
+    z0 = precond(r0)
+    p0 = z0
+
+    def body(carry, _):
+        x, r, z, p, rz = carry
+        ap = schur_matvec(p)
+        alpha = rz / jnp.maximum(dot(p, ap), 1e-20)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        p = z + beta * p
+        return (x, r, z, p, rz_new), None
+
+    (x, _, _, _, _), _ = jax.lax.scan(
+        body, (x0, r0, z0, p0, dot(r0, z0)), None, length=pcg_iters)
+    delta_c = jnp.where(free[:, None], x, 0.0)
+
+    # back-substitute points
+    t = jnp.einsum("oij,oi->oj", jp, jnp.einsum("oij,oj->oi", jc_w, delta_c[obs_cam]))
+    u = jnp.zeros((n_pts, 3)).at[obs_pt].add(t)
+    delta_p = jnp.einsum("pij,pj->pi", h_pp_inv, b_p - u)
+    delta_p = jnp.where(pt_fixed[:, None], 0.0, delta_p)
+    return delta_c, delta_p
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "phase_iters", "pcg_iters"))
+def bundle_adjust_pcg(
+    problem: BAProblem,
+    cam: PinholeCamera,
+    phase_iters: Tuple[int, ...] = (5, 10),
+    point_fixed: jax.Array | None = None,
+    lam0: float = 1e-4,
+    pcg_iters: int = 30,
+) -> BAResult:
+    """Large-scale BA (global BA / loop-closure GBA): same robust LM
+    schedule as `bundle_adjust` but with the matrix-free PCG Schur solve —
+    memory O(observations), scales to the full map
+    (GlobalBundleAdjustemnt analogue, Optimizer.cc:48-281)."""
+    p = problem.points.shape[0]
+    pt_fixed = point_fixed if point_fixed is not None else jnp.zeros((p,), bool)
+    k = problem.poses.shape[0]
+
+    def lm_phase(poses, points, active, use_huber, iters):
+        def step(carry, _):
+            poses, points, lam, cost = carry
+            prob = problem._replace(poses=poses, points=points)
+            e, jc, jp, z = _residuals_jacobians(prob, cam)
+            w, _ = _robust_weights(e, prob, use_huber)
+            w = jnp.where(active & (z > 1e-6), w, 0.0)
+            delta_c, delta_p = _solve_schur_pcg(
+                e, jc, jp, w, problem.obs_cam, problem.obs_pt, k, p,
+                problem.cam_fixed, pt_fixed, lam, pcg_iters)
+            poses_new = se3.retract(poses, delta_c)
+            points_new = points + delta_p
+            cost_new = _total_cost(
+                problem._replace(poses=poses_new, points=points_new), cam, active, use_huber)
+            accept = cost_new < cost
+            poses_out = jnp.where(accept, poses_new, poses)
+            points_out = jnp.where(accept, points_new, points)
+            lam_out = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e8))
+            cost_out = jnp.where(accept, cost_new, cost)
+            return (poses_out, points_out, lam_out, cost_out), None
+
+        cost0 = _total_cost(problem._replace(poses=poses, points=points), cam, active, use_huber)
+        (poses, points, _, cost), _ = jax.lax.scan(
+            step, (poses, points, jnp.float32(lam0), cost0), None, length=iters)
+        return poses, points, cost
+
+    poses, points = problem.poses, problem.points
+    active = problem.obs_valid
+    cost = jnp.float32(0.0)
+    for phase, iters in enumerate(phase_iters):
+        use_huber = jnp.bool_(phase == 0)
+        poses, points, cost = lm_phase(poses, points, active, use_huber, iters)
+        inlier = _classify_inliers(problem._replace(poses=poses, points=points), cam)
+        active = active & inlier
+    return BAResult(poses=poses, points=points, inlier=active, cost=cost)
+
+
 def _diag_only(blocks: jax.Array) -> jax.Array:
     d = jnp.zeros_like(blocks)
     n = blocks.shape[-1]

@@ -93,9 +93,16 @@ class SyntheticSequence:
 
     # ------------------------------------------------------------------
     def _make_trajectory(self, kind: str, n: int, loop: bool) -> np.ndarray:
-        """-> [n, 4, 4] ground-truth Tcw (world -> camera)."""
-        from orbslam2_tpu.geometry import se3
-        import jax.numpy as jnp
+        """-> [n, 4, 4] ground-truth Tcw (world -> camera). Pure numpy —
+        must not touch the accelerator (keeps data generation off the
+        device path)."""
+        def rodrigues(rvec: np.ndarray) -> np.ndarray:
+            th = np.linalg.norm(rvec)
+            if th < 1e-12:
+                return np.eye(3, dtype=np.float32)
+            k = rvec / th
+            kx = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+            return (np.eye(3) + np.sin(th) * kx + (1 - np.cos(th)) * (kx @ kx)).astype(np.float32)
 
         poses = []
         for i in range(n):
@@ -113,7 +120,7 @@ class SyntheticSequence:
                 ang = 2 * np.pi * t
                 twc_t = np.array([0.5 * np.sin(ang), 0.0, 0.5 * (1 - np.cos(ang))])
                 rvec = np.array([0.0, 0.35 * np.sin(ang), 0.0])
-            r = np.asarray(se3.so3_exp(jnp.asarray(rvec.astype(np.float32))))
+            r = rodrigues(rvec.astype(np.float32))
             twc = np.eye(4, dtype=np.float32)
             twc[:3, :3] = r
             twc[:3, 3] = twc_t

@@ -301,10 +301,25 @@ class ORBExtractor:
         ys = jnp.clip(ys, 0, lh - 1)
         xs = jnp.clip(xs, 0, lw - 1)
 
-        # orientation: moment maps by convolution, then one gather per kp
-        m10 = _conv2d_full(img, self.k10)
-        m01 = _conv2d_full(img, self.k01)
-        angle = jnp.arctan2(m01[ys, xs], m10[ys, xs])
+        # orientation: intensity-centroid moments over a 31x31 patch per
+        # keypoint, fetched with vmapped dynamic_slice. (Design notes from
+        # v5e profiling: a whole-image moment convolution is a
+        # single-channel conv that XLA:TPU cannot put on the MXU — ~500 ms
+        # per level; an advanced-indexing gather of the same patches costs
+        # ~10 ms; dynamic_slice rows cost ~1.5 ms.)
+        patch = 2 * HALF_PATCH + 1
+
+        def one_patch(y, x):
+            return jax.lax.dynamic_slice(
+                img,
+                (jnp.clip(y - HALF_PATCH, 0, lh - patch),
+                 jnp.clip(x - HALF_PATCH, 0, lw - patch)),
+                (patch, patch))
+
+        patches = jax.vmap(one_patch)(ys, xs)  # [k, 31, 31]
+        m10 = jnp.einsum("kij,ij->k", patches, jnp.asarray(self.k10))
+        m01 = jnp.einsum("kij,ij->k", patches, jnp.asarray(self.k01))
+        angle = jnp.arctan2(m01, m10)
 
         # descriptors on the blurred image
         blurred = _separable_conv(img, self.blur_kernel)

@@ -1,0 +1,217 @@
+"""Multi-chip distributed bundle adjustment via shard_map + collectives.
+
+The TPU-native scaling axis of this framework (SURVEY.md §2e): the
+reference is single-process (no MPI/NCCL anywhere); its transient global-BA
+thread (/root/reference/src/LoopClosing.cc:717) becomes a device-mesh
+program here.
+
+Parallel decomposition:
+- observations (the O(10^5..10^6) axis) shard across the mesh
+- camera poses and points are replicated (K*6 and P*3 floats — small)
+-每 LM step: per-shard residual/Jacobian products + local segment-sums,
+  reduced with `psum` over ICI; every device then runs the identical PCG
+  on the replicated reduced system, so no broadcast is needed afterwards
+
+This mirrors the standard data-parallel Gauss-Newton: compute-bound stages
+scale with devices, the psum of [K,6,6]+[P,3,3] blocks rides ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from orbslam2_tpu.backend import ba
+from orbslam2_tpu.backend.ba import BAProblem, BAResult
+from orbslam2_tpu.geometry import se3
+from orbslam2_tpu.geometry.camera import PinholeCamera
+from orbslam2_tpu.parallel.mesh import OBS_AXIS
+
+
+def _psum(x):
+    return jax.lax.psum(x, OBS_AXIS)
+
+
+def _local_blocks(prob_local: BAProblem, cam: PinholeCamera, active, use_huber,
+                  n_cams: int, n_pts: int):
+    """Per-shard residuals, Jacobians, robust weights."""
+    e, jc, jp, z = ba._residuals_jacobians(prob_local, cam)
+    w, cost_o = ba._robust_weights(e, prob_local, use_huber)
+    w = jnp.where(active & (z > 1e-6), w, 0.0)
+    cost = jnp.sum(jnp.where(active & (z > 1e-6), cost_o, 0.0))
+    return e, jc, jp, w, cost
+
+
+def _dist_lm_step(
+    poses, points, lam, cost,
+    obs_cam, obs_pt, obs_uv, obs_sig, obs_st, obs_valid, active,
+    cam_fixed, pt_fixed, cam: PinholeCamera, use_huber, pcg_iters: int,
+):
+    """One LM iteration, executed inside shard_map (obs arrays are the
+    local shard; poses/points replicated)."""
+    n_cams = poses.shape[0]
+    n_pts = points.shape[0]
+    prob = BAProblem(
+        poses=poses, points=points, cam_fixed=cam_fixed,
+        obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv,
+        obs_inv_sigma2=obs_sig, obs_stereo=obs_st, obs_valid=obs_valid)
+    e, jc, jp, w, _ = _local_blocks(prob, cam, active, use_huber, n_cams, n_pts)
+
+    jc_w = jc * w[:, None, None]
+    jp_w = jp * w[:, None, None]
+    h_cc = _psum(jnp.zeros((n_cams, 6, 6)).at[obs_cam].add(
+        jnp.einsum("oij,oik->ojk", jc_w, jc)))
+    h_pp = _psum(jnp.zeros((n_pts, 3, 3)).at[obs_pt].add(
+        jnp.einsum("oij,oik->ojk", jp_w, jp)))
+    b_c = _psum(jnp.zeros((n_cams, 6)).at[obs_cam].add(
+        -jnp.einsum("oij,oi->oj", jc_w, e)))
+    b_p = _psum(jnp.zeros((n_pts, 3)).at[obs_pt].add(
+        -jnp.einsum("oij,oi->oj", jp_w, e)))
+    b_p = jnp.where(pt_fixed[:, None], 0.0, b_p)
+
+    h_cc_d = h_cc + lam * ba._diag_only(h_cc) + 1e-8 * jnp.eye(6)
+    h_pp_d = h_pp + lam * ba._diag_only(h_pp) + 1e-8 * jnp.eye(3)
+    h_pp_d = jnp.where(pt_fixed[:, None, None], jnp.eye(3)[None], h_pp_d)
+    h_pp_inv = jnp.linalg.inv(h_pp_d)
+    h_pp_inv = jnp.where(pt_fixed[:, None, None], 0.0, h_pp_inv)
+    free = ~cam_fixed
+
+    def coupling_apply(v):
+        """W^T v distributed: [K,6] -> [P,3] (psum over shards)."""
+        t = jnp.einsum("oij,oi->oj", jp, jnp.einsum("oij,oj->oi", jc_w, v[obs_cam]))
+        return _psum(jnp.zeros((n_pts, 3)).at[obs_pt].add(t))
+
+    def coupling_apply_t(y):
+        """W y distributed: [P,3] -> [K,6] (psum over shards)."""
+        s = jnp.einsum("oij,oi->oj", jc_w, jnp.einsum("oij,oj->oi", jp, y[obs_pt]))
+        return _psum(jnp.zeros((n_cams, 6)).at[obs_cam].add(s))
+
+    def schur_matvec(v):
+        v = jnp.where(free[:, None], v, 0.0)
+        hv = jnp.einsum("kij,kj->ki", h_cc_d, v)
+        u = coupling_apply(v)
+        y = jnp.einsum("pij,pj->pi", h_pp_inv, u)
+        out = hv - coupling_apply_t(y)
+        return jnp.where(free[:, None], out, v)
+
+    y0 = jnp.einsum("pij,pj->pi", h_pp_inv, b_p)
+    b_red = b_c - coupling_apply_t(y0)
+    b_red = jnp.where(free[:, None], b_red, 0.0)
+    m_inv = jnp.linalg.inv(h_cc_d + 1e-6 * jnp.eye(6))
+
+    def precond(r):
+        return jnp.where(free[:, None], jnp.einsum("kij,kj->ki", m_inv, r), r)
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    x0 = jnp.zeros_like(b_red)
+    r0 = b_red
+    z0 = precond(r0)
+
+    def body(carry, _):
+        x, r, z, pdir, rz = carry
+        ap = schur_matvec(pdir)
+        alpha = rz / jnp.maximum(dot(pdir, ap), 1e-20)
+        x = x + alpha * pdir
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = dot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-20)
+        return (x, r, z, z + beta * pdir, rz_new), None
+
+    (x, _, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, z0, dot(r0, z0)),
+                                      None, length=pcg_iters)
+    delta_c = jnp.where(free[:, None], x, 0.0)
+    u = coupling_apply(delta_c)
+    delta_p = jnp.einsum("pij,pj->pi", h_pp_inv, b_p - u)
+    delta_p = jnp.where(pt_fixed[:, None], 0.0, delta_p)
+
+    poses_new = se3.retract(poses, delta_c)
+    points_new = points + delta_p
+    prob_new = prob._replace(poses=poses_new, points=points_new)
+    e2, _, _, z2 = ba._residuals_jacobians(prob_new, cam)
+    _, cost_o2 = ba._robust_weights(e2, prob_new, use_huber)
+    cost_new = _psum(jnp.sum(jnp.where(active & (z2 > 1e-6), cost_o2, 0.0)))
+    accept = cost_new < cost
+    poses_out = jnp.where(accept, poses_new, poses)
+    points_out = jnp.where(accept, points_new, points)
+    lam_out = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e8))
+    cost_out = jnp.where(accept, cost_new, cost)
+    return poses_out, points_out, lam_out, cost_out
+
+
+def distributed_bundle_adjust(
+    problem: BAProblem,
+    cam: PinholeCamera,
+    mesh: Mesh,
+    phase_iters: Tuple[int, ...] = (5, 10),
+    point_fixed: jax.Array | None = None,
+    pcg_iters: int = 30,
+    lam0: float = 1e-4,
+) -> BAResult:
+    """Distributed robust-LM BA. Observation arrays must have length
+    divisible by the mesh size (pad with obs_valid=False rows)."""
+    n_dev = mesh.devices.size
+    o = problem.obs_cam.shape[0]
+    assert o % n_dev == 0, f"pad observations ({o}) to a multiple of mesh size ({n_dev})"
+    p = problem.points.shape[0]
+    pt_fixed = point_fixed if point_fixed is not None else jnp.zeros((p,), bool)
+
+    rep = P()
+    shd = P(OBS_AXIS)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(rep, rep, shd, shd, shd, shd, shd, shd, shd, rep, rep, rep),
+        out_specs=(rep, rep, rep),
+        check_vma=False,
+    )
+    def run_phase(poses, points, obs_cam, obs_pt, obs_uv, obs_sig, obs_st,
+                  obs_valid, active, cam_fixed, pt_fixed, phase_flags):
+        use_huber = phase_flags[0] > 0.5
+        iters = phase_flags[1].astype(jnp.int32)
+
+        def step(carry, _):
+            poses, points, lam, cost, it = carry
+            poses, points, lam, cost = jax.lax.cond(
+                it < iters,
+                lambda args: _dist_lm_step(
+                    *args, obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv,
+                    obs_sig=obs_sig, obs_st=obs_st, obs_valid=obs_valid,
+                    active=active, cam_fixed=cam_fixed, pt_fixed=pt_fixed,
+                    cam=cam, use_huber=use_huber, pcg_iters=pcg_iters),
+                lambda args: args,
+                (poses, points, lam, cost),
+            )
+            return (poses, points, lam, cost, it + 1), None
+
+        prob = BAProblem(
+            poses=poses, points=points, cam_fixed=cam_fixed,
+            obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv,
+            obs_inv_sigma2=obs_sig, obs_stereo=obs_st, obs_valid=obs_valid)
+        e, _, _, z = ba._residuals_jacobians(prob, cam)
+        _, cost_o = ba._robust_weights(e, prob, use_huber)
+        cost0 = _psum(jnp.sum(jnp.where(active & (z > 1e-6), cost_o, 0.0)))
+        (poses, points, _, cost, _), _ = jax.lax.scan(
+            step, (poses, points, jnp.float32(lam0), cost0, jnp.int32(0)),
+            None, length=max(phase_iters))
+        return poses, points, cost
+
+    poses, points = problem.poses, problem.points
+    active = problem.obs_valid
+    cost = jnp.float32(0.0)
+    for phase, iters in enumerate(phase_iters):
+        flags = jnp.array([float(phase == 0), float(iters)], jnp.float32)
+        poses, points, cost = run_phase(
+            poses, points, problem.obs_cam, problem.obs_pt, problem.obs_uv,
+            problem.obs_inv_sigma2, problem.obs_stereo, problem.obs_valid,
+            active, problem.cam_fixed, pt_fixed, flags)
+        inlier = ba._classify_inliers(
+            problem._replace(poses=poses, points=points), cam)
+        active = active & inlier
+    return BAResult(poses=poses, points=points, inlier=active, cost=cost)

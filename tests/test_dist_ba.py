@@ -1,0 +1,72 @@
+"""Distributed BA on a virtual 8-device CPU mesh + the PCG solver path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_tpu.backend import ba
+from orbslam2_tpu.parallel import dist_ba
+from orbslam2_tpu.parallel.mesh import make_mesh
+from test_ba import CAM, make_ba_problem, pose_errors
+
+
+def pad_obs_to(problem: ba.BAProblem, multiple: int) -> ba.BAProblem:
+    o = problem.obs_cam.shape[0]
+    pad = (-o) % multiple
+    if pad == 0:
+        return problem
+    return problem._replace(
+        obs_cam=jnp.pad(problem.obs_cam, (0, pad)),
+        obs_pt=jnp.pad(problem.obs_pt, (0, pad)),
+        obs_uv=jnp.pad(problem.obs_uv, ((0, pad), (0, 0))),
+        obs_inv_sigma2=jnp.pad(problem.obs_inv_sigma2, (0, pad), constant_values=1.0),
+        obs_stereo=jnp.pad(problem.obs_stereo, (0, pad)),
+        obs_valid=jnp.pad(problem.obs_valid, (0, pad)),
+    )
+
+
+class TestPCGPath:
+    def test_pcg_matches_dense(self, rng):
+        problem, poses_true, pts_true, _ = make_ba_problem(rng, noise=0.3)
+        res_dense = ba.bundle_adjust(problem, CAM)
+        res_pcg = ba.bundle_adjust_pcg(problem, CAM, pcg_iters=40)
+        e_dense = pose_errors(res_dense.poses, poses_true).max()
+        e_pcg = pose_errors(res_pcg.poses, poses_true).max()
+        assert e_pcg < 0.02
+        assert e_pcg < e_dense * 3 + 0.01
+
+    def test_pcg_outliers(self, rng):
+        problem, poses_true, _, out_mask = make_ba_problem(rng, noise=0.3, outlier_frac=0.1)
+        res = ba.bundle_adjust_pcg(problem, CAM, pcg_iters=40)
+        inl = np.asarray(res.inlier)
+        assert inl[out_mask].mean() < 0.05
+        assert pose_errors(res.poses, poses_true).max() < 0.02
+
+
+class TestDistributedBA:
+    def test_dist_matches_single_device(self, rng):
+        n_dev = len(jax.devices())
+        assert n_dev >= 8, "conftest must provide 8 virtual devices"
+        mesh = make_mesh(8)
+        problem, poses_true, pts_true, _ = make_ba_problem(rng, noise=0.3)
+        problem = pad_obs_to(problem, 8)
+        res = dist_ba.distributed_bundle_adjust(problem, CAM, mesh, pcg_iters=40)
+        assert pose_errors(res.poses, poses_true).max() < 0.02
+
+    def test_dist_with_outliers(self, rng):
+        mesh = make_mesh(8)
+        problem, poses_true, _, out_mask = make_ba_problem(
+            rng, noise=0.3, outlier_frac=0.1)
+        n_obs_orig = problem.obs_cam.shape[0]
+        problem = pad_obs_to(problem, 8)
+        res = dist_ba.distributed_bundle_adjust(problem, CAM, mesh, pcg_iters=40)
+        inl = np.asarray(res.inlier)[:n_obs_orig]
+        assert inl[out_mask].mean() < 0.1
+        assert pose_errors(res.poses, poses_true).max() < 0.02
+
+    def test_dist_2_devices(self, rng):
+        mesh = make_mesh(2)
+        problem, poses_true, _, _ = make_ba_problem(rng, noise=0.2, stereo=True)
+        problem = pad_obs_to(problem, 2)
+        res = dist_ba.distributed_bundle_adjust(problem, CAM, mesh, pcg_iters=40)
+        assert pose_errors(res.poses, poses_true).max() < 0.02
