@@ -43,6 +43,8 @@ class LocalMapperConfig:
     cull_min_obs_age2: int = 3       # stereo/RGBD: >=3 obs within 2 KFs (cc:216)
     kf_cull_redundancy: float = 0.9  # KeyFrameCulling (cc:704)
     fuse_radius: float = 3.0         # Fuse search radius base (ORBmatcher.cc:898)
+    triangulation_neighbors: int = 10  # 20 for mono (LocalMapping.cc:247)
+    monocular: bool = False
 
 
 def kf_keypoints(m: MapState, kf: int) -> Keypoints:
@@ -81,6 +83,7 @@ class LocalMapper:
                 self._recent[pid] = order
         self._map_point_culling(order)
         w = covisibility.weight_matrix(m)
+        self._create_new_map_points(kf, w)
         self._search_in_neighbors(kf, w)
         pts = np.unique(m.kf_pt[kf])
         pts = pts[pts >= 0]
@@ -115,6 +118,70 @@ class LocalMapper:
             done.append(pid)
         for pid in done:
             self._recent.pop(pid, None)
+
+    # ------------------------------------------------------------------
+    # CreateNewMapPoints (LocalMapping.cc:237-513)
+    # ------------------------------------------------------------------
+    def scene_median_depth(self, kf: int) -> float:
+        """KeyFrame::ComputeSceneMedianDepth (KeyFrame.cc:674)."""
+        m = self.map
+        pids = m.kf_pt[kf][m.kf_pt[kf] >= 0]
+        pids = pids[m.pt_valid[pids]]
+        if len(pids) == 0:
+            return -1.0
+        tcw = m.kf_pose[kf]
+        z = (m.pt_pos[pids] @ tcw[:3, :3].T + tcw[:3, 3])[:, 2]
+        return float(np.median(z))
+
+    def _create_new_map_points(self, kf: int, w: np.ndarray) -> None:
+        from orbslam2_tpu.frontend.triangulation import triangulate_pair
+        m = self.map
+        cfg = self.cfg
+        n_neigh = cfg.triangulation_neighbors * (2 if cfg.monocular else 1)
+        neighbors = covisibility.best_covisible(w, kf, n_neigh)
+        if len(neighbors) == 0:
+            return
+        kp1 = kf_keypoints(m, kf)
+        med_depth1 = self.scene_median_depth(kf)
+        c1 = -(m.kf_pose[kf][:3, :3].T @ m.kf_pose[kf][:3, 3])
+        new_pts = []
+        for nb in neighbors:
+            nb = int(nb)
+            c2 = -(m.kf_pose[nb][:3, :3].T @ m.kf_pose[nb][:3, 3])
+            baseline = float(np.linalg.norm(c2 - c1))
+            if cfg.monocular:
+                if med_depth1 > 0 and baseline / med_depth1 < 0.01:
+                    continue  # LocalMapping.cc:286-295
+            else:
+                if baseline < 0.01:
+                    continue
+            free1 = (m.kf_pt[kf] < 0) & m.kf_kp_valid[kf]
+            free2 = (m.kf_pt[nb] < 0) & m.kf_kp_valid[nb]
+            res = triangulate_pair(
+                jnp.asarray(m.kf_pose[kf]), kp1, jnp.asarray(free1),
+                jnp.asarray(m.kf_kp_ur[kf]), jnp.asarray(m.kf_kp_depth[kf]),
+                jnp.asarray(m.kf_pose[nb]), kf_keypoints(m, nb), jnp.asarray(free2),
+                jnp.asarray(m.kf_kp_ur[nb]), jnp.asarray(m.kf_kp_depth[nb]),
+                self.cam, cfg.scale_factor, cfg.n_levels)
+            kp2_idx = np.asarray(res.kp2_idx)
+            pts = np.asarray(res.points)
+            for i in np.where(kp2_idx >= 0)[0]:
+                if m.kf_pt[kf, i] >= 0 or m.kf_pt[nb, kp2_idx[i]] >= 0:
+                    continue  # taken by an earlier pair this round
+                try:
+                    pid = m.add_point(pts[i], m.kf_kp_desc[kf, i], kf,
+                                      int(m.kf_frame_id[kf]))
+                except RuntimeError:
+                    return  # capacity full; culling will free slots later
+                m.add_observation(kf, i, pid)
+                m.add_observation(nb, int(kp2_idx[i]), pid)
+                new_pts.append(pid)
+        if new_pts:
+            m.update_point_descriptor_and_normal(
+                np.array(new_pts), cfg.scale_factor, cfg.n_levels)
+            order = int(m.kf_order[kf])
+            for pid in new_pts:
+                self._recent[pid] = order
 
     # ------------------------------------------------------------------
     # SearchInNeighbors / Fuse (LocalMapping.cc:515-599, ORBmatcher.cc:873-1038)
@@ -217,12 +284,18 @@ class LocalMapper:
         cams = [*local, *fixed][: cfg.ba_max_cams]
         cam_slot = {int(c): i for i, c in enumerate(cams)}
 
-        # gauge: if fewer than 2 fixed cameras, fix the oldest local KF too
+        # gauge: without out-of-window fixed observers, fix the two oldest
+        # local KFs — one pins the SE3 gauge, the second pins monocular
+        # scale (a single fixed camera leaves scale as a flat direction
+        # that LM noise random-walks along; measured 2.6x drift / 35
+        # frames before this anchor).
         cam_fixed = np.zeros(cfg.ba_max_cams, bool)
         cam_fixed[n_free:] = True
         if len(fixed) == 0:
-            oldest = int(np.argmin([m.kf_order[c] for c in local]))
-            cam_fixed[oldest] = True
+            order = np.argsort([m.kf_order[c] for c in local])
+            cam_fixed[order[0]] = True
+            if len(local) > 2:
+                cam_fixed[order[1]] = True
 
         poses = np.tile(np.eye(4, dtype=np.float32), (cfg.ba_max_cams, 1, 1))
         for c, i in cam_slot.items():
@@ -296,9 +369,15 @@ class LocalMapper:
     def _keyframe_culling(self, kf: int, w: np.ndarray) -> None:
         m = self.map
         obs_count = m.point_obs_count()
+        # gauge anchors: never cull the two oldest surviving keyframes (the
+        # reference only protects mnId==0; with our two-anchor local-BA
+        # gauge, culling the second-oldest re-seats the scale anchor onto a
+        # drifted keyframe — measured 2x mono scale drift)
+        live_orders = np.sort(m.kf_order[m.kf_valid & (m.kf_order >= 0)])
+        protected = set(live_orders[:2].tolist())
         for cand in covisibility.covisible_neighbors(w, kf):
             cand = int(cand)
-            if m.kf_order[cand] == 0:  # never cull the origin keyframe
+            if int(m.kf_order[cand]) in protected:
                 continue
             slots = np.where(m.kf_pt[cand] >= 0)[0]
             if len(slots) == 0:

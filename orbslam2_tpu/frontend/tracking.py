@@ -17,6 +17,7 @@ import dataclasses
 import enum
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -57,6 +58,7 @@ class FrameTrajectoryEntry:
     mlRelativeFramePoses / mlpReferences (Tracking.h:108-111)."""
     tcr: np.ndarray       # frame pose relative to its reference keyframe
     ref_kf: int
+    ref_order: int        # insertion order of the ref KF (survives slot reuse)
     timestamp: float
     lost: bool
 
@@ -82,6 +84,8 @@ class Tracker:
         self.matches_inliers = 0
         self._covis_w: Optional[np.ndarray] = None
         self.last_reloc_frame_id: int = -1000000
+        self.is_mono = False
+        self._init_ref: Optional[frame_mod.Frame] = None
 
     # ------------------------------------------------------------------
     # public API
@@ -94,6 +98,7 @@ class Tracker:
         return self._track(fr)
 
     def track_mono(self, gray: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
+        self.is_mono = True
         fr = frame_mod.build_frame_mono(
             self.frame_counter, timestamp, gray, self.extractor, self.cam,
             extract_fn=self._extract_jit)
@@ -106,7 +111,10 @@ class Tracker:
     def _track(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             self.state = TrackingState.NOT_INITIALIZED
-            ok = self._stereo_initialization(fr)
+            if self.is_mono:
+                ok = self._monocular_initialization(fr)
+            else:
+                ok = self._stereo_initialization(fr)
             if ok:
                 self.state = TrackingState.OK
             self._record_trajectory(fr, lost=not ok)
@@ -172,6 +180,90 @@ class Tracker:
         self._covis_w = covisibility.weight_matrix(self.map)
         if self.local_mapper is not None:
             self.local_mapper.on_first_keyframe(kf)
+        return True
+
+    # ------------------------------------------------------------------
+    # monocular initialization (Tracking::MonocularInitialization,
+    # Tracking.cc:626-857 + CreateInitialMapMonocular:738)
+    # ------------------------------------------------------------------
+    def _monocular_initialization(self, fr: frame_mod.Frame) -> bool:
+        n_kp = int(np.asarray(fr.kp.valid).sum())
+        if self._init_ref is None:
+            if n_kp > 100:
+                self._init_ref = fr
+            return False
+        if n_kp <= 100:
+            self._init_ref = None
+            return False
+        ref = self._init_ref
+        # windowed search around the reference keypoint positions
+        # (SearchForInitialization: radius 100, level 0, ratio 0.9)
+        from orbslam2_tpu.ops import match as match_ops
+        level0 = (ref.kp.octave == 0) & ref.kp.valid
+        res = match_ops.windowed_match(
+            ref.kp.xy, ref.kp.desc, level0,
+            jnp.full((ref.n,), 100.0), jnp.zeros((ref.n,), jnp.int32),
+            jnp.zeros((ref.n,), jnp.int32), fr.kp,
+            max_dist=50, ratio=0.9)
+        best_kp = np.asarray(res.best_kp)
+        n_matches = int((best_kp >= 0).sum())
+        if n_matches < 100:
+            self._init_ref = None  # restart (Tracking.cc:660-688)
+            return False
+
+        from orbslam2_tpu.solvers.initializer import initialize_two_view
+        uv2 = np.zeros((ref.n, 2), np.float32)
+        sel = best_kp >= 0
+        uv2[sel] = np.asarray(fr.kp.xy)[best_kp[sel]]
+        init = initialize_two_view(
+            ref.kp.xy, jnp.asarray(uv2), jnp.asarray(sel),
+            self.cam.k_matrix(), jax.random.PRNGKey(int(fr.frame_id)))
+        if not bool(init.success):
+            return False
+
+        good = np.asarray(init.good)
+        pts = np.asarray(init.points)
+        r21 = np.asarray(init.r21)
+        t21 = np.asarray(init.t21)
+
+        # median-depth normalization (Tracking.cc:803-832)
+        med = float(np.median(pts[good, 2]))
+        if med <= 0 or good.sum() < 50:
+            return False
+        inv_med = 1.0 / med
+        pts = pts * inv_med
+        tcw2 = np.eye(4, dtype=np.float32)
+        tcw2[:3, :3] = r21
+        tcw2[:3, 3] = t21 * inv_med
+
+        ref.tcw = np.eye(4, dtype=np.float32)
+        fr.tcw = tcw2
+        kf1 = self._insert_keyframe(ref)
+        kf2 = self._insert_keyframe(fr)
+        new_pts = []
+        for i in np.where(good & sel)[0]:
+            pid = self.map.add_point(pts[i], np.asarray(ref.kp.desc)[i], kf1,
+                                     int(ref.frame_id))
+            self.map.add_observation(kf1, i, pid)
+            self.map.add_observation(kf2, int(best_kp[i]), pid)
+            ref.pt_ids[i] = pid
+            fr.pt_ids[best_kp[i]] = pid
+            new_pts.append(pid)
+        if len(new_pts) < 50:
+            self.map.clear()
+            self._init_ref = None
+            return False
+        self.map.update_point_descriptor_and_normal(
+            np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+        self._covis_w = covisibility.weight_matrix(self.map)
+        covisibility.assign_spanning_parent(self.map, self._covis_w, kf2)
+
+        # initial global BA (20 iters, Tracking.cc:803)
+        if self.local_mapper is not None:
+            self.local_mapper._local_ba(kf2, self._covis_w)
+        self.ref_kf = kf2
+        self.last_kf_frame_id = fr.frame_id
+        self._init_ref = None
         return True
 
     # ------------------------------------------------------------------
@@ -353,7 +445,11 @@ class Tracker:
         frames_since_kf = fr.frame_id - self.last_kf_frame_id
         c1a = frames_since_kf >= self.cfg.max_frames_between_kf
         c1b = frames_since_kf >= self.cfg.min_frames_between_kf
-        th_ref = 0.75 if n_kfs > 2 else 0.4
+        # thRefRatio: 0.9 mono, 0.4 with <2 KFs, else 0.75 (Tracking.cc:1255-1266)
+        if self.is_mono:
+            th_ref = 0.9
+        else:
+            th_ref = 0.75 if n_kfs >= 2 else 0.4
         c2 = (self.matches_inliers < ref_tracked * th_ref or need_close) \
             and self.matches_inliers > 15
         return bool((c1a or (c1b and c2)) and c2) or (c1b and need_close and self.matches_inliers > 15)
@@ -417,20 +513,28 @@ class Tracker:
     def _record_trajectory(self, fr: frame_mod.Frame, lost: bool) -> None:
         if self.ref_kf >= 0 and self.map.kf_valid[self.ref_kf]:
             tcr = fr.tcw @ np.linalg.inv(self.map.kf_pose[self.ref_kf])
+            ref_order = int(self.map.kf_order[self.ref_kf])
         else:
             tcr = np.eye(4, dtype=np.float32)
+            ref_order = -1
         self.trajectory.append(FrameTrajectoryEntry(
-            tcr=tcr.astype(np.float32), ref_kf=self.ref_kf,
+            tcr=tcr.astype(np.float32), ref_kf=self.ref_kf, ref_order=ref_order,
             timestamp=fr.timestamp, lost=lost))
 
     def full_trajectory_twc(self) -> np.ndarray:
-        """Recover all frame poses through their reference keyframes
+        """Recover all frame poses through their reference keyframes,
+        chaining through culled keyframes via stored relative poses
         (System::SaveTrajectoryTUM logic, System.cc:353-415)."""
         out = []
+        last = np.eye(4, dtype=np.float32)
         for e in self.trajectory:
-            if e.ref_kf < 0:
-                out.append(np.eye(4, dtype=np.float32))
+            ref_pose = None
+            if e.ref_kf >= 0:
+                ref_pose = self.map.resolve_kf_pose(e.ref_kf, e.ref_order)
+            if ref_pose is None:
+                out.append(last)
                 continue
-            tcw = e.tcr @ self.map.kf_pose[e.ref_kf]
-            out.append(np.linalg.inv(tcw).astype(np.float32))
+            tcw = e.tcr @ ref_pose
+            last = np.linalg.inv(tcw).astype(np.float32)
+            out.append(last)
         return np.stack(out)

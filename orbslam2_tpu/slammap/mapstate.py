@@ -76,6 +76,11 @@ class MapState:
 
         self._kf_free: List[int] = list(range(k - 1, -1, -1))
         self._pt_free: List[int] = list(range(p - 1, -1, -1))
+        # culled-keyframe trajectory chain: (slot, order) -> (parent slot,
+        # parent order, Tcp) — the mTcp relative-pose mechanism the
+        # reference uses to recover frame trajectories through culled
+        # keyframes (KeyFrame.cc:577, System.cc:380-400)
+        self.dead_kf = {}
         # "big change" counter (Map::InformNewBigChange, Map.cc:70-81)
         self.change_index = 0
 
@@ -205,13 +210,36 @@ class MapState:
 
     def erase_keyframe(self, kf: int) -> None:
         """KeyFrame::SetBadFlag (/root/reference/src/KeyFrame.cc:489-580):
-        drop observations; re-parent children to this KF's parent."""
+        drop observations; re-parent children to this KF's parent; record
+        the relative pose to the parent for trajectory recovery."""
+        par = int(self.kf_parent[kf])
+        if par >= 0 and self.kf_valid[par]:
+            tcp = self.kf_pose[kf] @ np.linalg.inv(self.kf_pose[par])
+            self.dead_kf[(kf, int(self.kf_order[kf]))] = (
+                par, int(self.kf_order[par]), tcp.astype(np.float32))
         self.kf_pt[kf] = -1
         children = np.where(self.kf_parent == kf)[0]
         self.kf_parent[children] = self.kf_parent[kf]
         self.kf_valid[kf] = False
         self.kf_order[kf] = -1
         self._kf_free.append(kf)
+
+    def resolve_kf_pose(self, kf: int, order: int):
+        """Tcw of a (possibly culled) keyframe identified by (slot, order):
+        live slots return their current pose; culled ones chain Tcp factors
+        up the spanning tree to the first live ancestor. None if the chain
+        is broken."""
+        t_acc = np.eye(4, dtype=np.float32)
+        for _ in range(self.cap.max_keyframes + 1):
+            if self.kf_valid[kf] and self.kf_order[kf] == order:
+                return t_acc @ self.kf_pose[kf]
+            entry = self.dead_kf.get((kf, order))
+            if entry is None:
+                return None
+            par, par_order, tcp = entry
+            t_acc = t_acc @ tcp
+            kf, order = par, par_order
+        return None
 
     # ------------------------------------------------------------------
     # derived quantities

@@ -37,7 +37,8 @@ class SLAMSystem:
         self.local_mapper = LocalMapper(
             self.map, config.cam,
             LocalMapperConfig(scale_factor=config.orb.scale_factor,
-                              n_levels=config.orb.n_levels))
+                              n_levels=config.orb.n_levels,
+                              monocular=(sensor == Sensor.MONOCULAR)))
         self.tracker = Tracker(config, self.map, self.local_mapper)
 
     # ------------------------------------------------------------------
