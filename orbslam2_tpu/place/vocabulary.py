@@ -1,0 +1,160 @@
+"""Tensorized binary bag-of-words vocabulary (DBoW2 replacement).
+
+The reference vendors DBoW2 (/root/reference/Thirdparty/DBoW2): a k=10,
+depth-6 vocabulary tree of binary ORB descriptors, traversed per descriptor
+with scalar Hamming comparisons (TemplatedVocabulary.h:135-162), scored with
+normalized L1 (ScoringObject.h). The ~145 MB ORBvoc.txt it loads is not in
+the snapshot (SURVEY.md §2a) — this framework trains its own vocabulary on
+its own descriptor distribution (the BRIEF pattern differs by design).
+
+TPU re-design:
+- the tree is two flat arrays: per-level children centroids in {-1,+1} and a
+  children index table; descent for ALL descriptors at once is L gathers +
+  L small Hamming matmuls (MXU) instead of per-descriptor pointer walks
+- a bag-of-words vector is a dense [n_words] tf-idf array (vocabularies
+  here are 10^3..10^5 words, so dense rows are cheap and scoring across a
+  whole keyframe database is one elementwise pass / matmul)
+- training = hierarchical binary k-medians (bitwise-majority medoids)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.ops.orb import DESC_BITS, pack_bits, unpack_bits
+
+
+@dataclasses.dataclass
+class Vocabulary:
+    """Flat vocabulary tree.
+
+    levels: L; branching: k. Node layout: level l has k^(l+1) slots
+    (children of every level-(l-1) slot, contiguous). centers[l] is
+    [k^(l+1), 256] in {-1,+1} float32 (zero rows for dead nodes).
+    Leaves = last level; word id = leaf slot index.
+    """
+    k: int
+    levels: int
+    centers: list          # per level: np.ndarray [k^(l+1), 256] float32
+    word_weights: np.ndarray  # [n_words] idf weights
+    n_words: int
+
+    def transform_packed(self, desc_packed, valid):
+        """[N, 8] uint32 -> word ids [N] int32 (-1 for invalid)."""
+        bits = unpack_bits(jnp.asarray(desc_packed)).astype(jnp.float32) * 2.0 - 1.0
+        return self.transform_pm1(bits, jnp.asarray(valid))
+
+    def transform_pm1(self, bits_pm1, valid):
+        """[N, 256] {-1,+1} -> word ids [N] int32."""
+        k = self.k
+        node = jnp.zeros(bits_pm1.shape[0], jnp.int32)  # slot at current level
+        for lvl in range(self.levels):
+            c = jnp.asarray(self.centers[lvl])  # [k^(lvl+1), 256]
+            # children of `node` are slots node*k .. node*k+k-1
+            child_base = node * k
+            cand = c[child_base[:, None] + jnp.arange(k)[None, :]]  # [N, k, 256]
+            dots = jnp.einsum("nd,nkd->nk", bits_pm1, cand,
+                              precision=jax.lax.Precision.DEFAULT)
+            # dead children have zero centers -> dot 0; real ones in [-256,256]
+            alive = jnp.sum(jnp.abs(cand), axis=-1) > 0
+            dots = jnp.where(alive, dots, -1e9)
+            best = jnp.argmax(dots, axis=-1).astype(jnp.int32)
+            node = child_base + best
+        return jnp.where(valid, node, -1)
+
+    def bow_vector(self, word_ids: np.ndarray) -> np.ndarray:
+        """word ids [N] -> L1-normalized tf-idf dense vector [n_words]."""
+        v = np.zeros(self.n_words, np.float32)
+        ids = word_ids[word_ids >= 0]
+        np.add.at(v, ids, self.word_weights[ids])
+        s = v.sum()
+        return v / s if s > 0 else v
+
+    def score_l1(self, v1: np.ndarray, v2: np.ndarray) -> float:
+        """DBoW2 L1 score (ScoringObject.h L1Scoring): both inputs
+        L1-normalized; s = 1 - 0.5 |v1 - v2|_1 in [0, 1]."""
+        return float(1.0 - 0.5 * np.abs(v1 - v2).sum())
+
+
+def train_vocabulary(descriptors_packed: np.ndarray, k: int = 10, levels: int = 3,
+                     seed: int = 0, iters: int = 8) -> Vocabulary:
+    """Hierarchical binary k-medians on packed descriptors [N, 8] uint32.
+
+    Equivalent role to DBoW2's create() (TemplatedVocabulary.h); medoid of a
+    cluster = bitwise majority vote.
+    """
+    rng = np.random.default_rng(seed)
+    bits = np.asarray(unpack_bits(jnp.asarray(descriptors_packed))).astype(np.int8)
+    n = len(bits)
+
+    centers_by_level = [np.zeros((k ** (l + 1), DESC_BITS), np.float32)
+                        for l in range(levels)]
+
+    def kmedians(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """-> (centroid bits [k, 256] in {0,1}, assignment [len(data)])."""
+        m = len(data)
+        n_c = min(k, m)
+        idx = rng.choice(m, size=n_c, replace=False)
+        cents = data[idx].astype(np.int8)
+        assign = np.zeros(m, np.int64)
+        for _ in range(iters):
+            # hamming distance via +-1 dot
+            d = (data * 2 - 1).astype(np.float32) @ (cents.T * 2 - 1).astype(np.float32)
+            assign = d.argmax(axis=1)
+            new = []
+            for c in range(n_c):
+                members = data[assign == c]
+                if len(members) == 0:
+                    members = data[rng.integers(0, m, 1)]
+                new.append((members.mean(axis=0) >= 0.5).astype(np.int8))
+            new = np.stack(new)
+            if (new == cents).all():
+                cents = new
+                break
+            cents = new
+        d = (data * 2 - 1).astype(np.float32) @ (cents.T * 2 - 1).astype(np.float32)
+        return cents, d.argmax(axis=1)
+
+    # recursive split, filling flat level arrays
+    def split(data: np.ndarray, level: int, slot: int):
+        if len(data) == 0:
+            return
+        cents, assign = kmedians(data)
+        base = slot * k
+        for c in range(len(cents)):
+            centers_by_level[level][base + c] = cents[c] * 2.0 - 1.0
+            if level + 1 < levels:
+                split(data[assign == c], level + 1, base + c)
+
+    split(bits, 0, 0)
+
+    n_words = k ** levels
+    # idf from the training corpus (TemplatedVocabulary::setNodeWeights)
+    voc = Vocabulary(k=k, levels=levels, centers=centers_by_level,
+                     word_weights=np.ones(n_words, np.float32), n_words=n_words)
+    ids = np.asarray(voc.transform_packed(descriptors_packed,
+                                          np.ones(n, bool)))
+    counts = np.bincount(ids[ids >= 0], minlength=n_words).astype(np.float32)
+    idf = np.log(n / np.maximum(counts, 1.0))
+    voc.word_weights = np.where(counts > 0, idf, 0.0).astype(np.float32)
+    return voc
+
+
+def save_vocabulary(voc: Vocabulary, path: str) -> None:
+    np.savez_compressed(
+        path, k=voc.k, levels=voc.levels, n_words=voc.n_words,
+        word_weights=voc.word_weights,
+        **{f"centers_{i}": c for i, c in enumerate(voc.centers)})
+
+
+def load_vocabulary(path: str) -> Vocabulary:
+    z = np.load(path)
+    levels = int(z["levels"])
+    return Vocabulary(
+        k=int(z["k"]), levels=levels,
+        centers=[z[f"centers_{i}"] for i in range(levels)],
+        word_weights=z["word_weights"], n_words=int(z["n_words"]))
