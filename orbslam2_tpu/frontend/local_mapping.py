@@ -68,6 +68,7 @@ class LocalMapper:
         # recent points under probation: pt_id -> kf order at creation
         self._recent: Dict[int, int] = {}
         self.interrupt_ba = False  # InterruptBA analogue (LocalMapping.cc:696)
+        self.kfdb = None  # set by SLAMSystem when place recognition is on
 
     # ------------------------------------------------------------------
     def on_first_keyframe(self, kf: int) -> None:
@@ -400,3 +401,5 @@ class LocalMapper:
                     redundant += 1
             if redundant > self.cfg.kf_cull_redundancy * len(slots):
                 m.erase_keyframe(cand)
+                if self.kfdb is not None:
+                    self.kfdb.erase(cand)

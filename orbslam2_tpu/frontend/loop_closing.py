@@ -1,0 +1,412 @@
+"""Loop closing: detection, Sim3 computation, correction, pose graph, GBA.
+
+Re-design of the reference LoopClosing thread
+(/root/reference/src/LoopClosing.cc). Runs synchronously per processed
+keyframe (the async orchestrator replaces the 5 ms poll loop, cc:64-98).
+
+Stages mirror the reference:
+- DetectLoop (cc:119): >=10 KFs since last loop, min-score from covisible
+  BoW scores, KFDB candidates, covisibility-consistency chaining over 3
+  consecutive detections
+- ComputeSim3 (cc:282): per-candidate descriptor matching of map points,
+  Sim3 RANSAC (scale frozen for stereo/RGB-D), OptimizeSim3 (>=20
+  inliers), then projection of the loop neighborhood (>=40 total)
+- CorrectLoop (cc:500): Sim3 propagation to the covisible window, point
+  remapping p' = S_corr^-1 S_old p, loop-point fusion, essential-graph
+  optimization, and a final global BA (the reference spawns a thread;
+  here the PCG global BA runs inline)
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Set
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orbslam2_tpu.backend import ba, pose_graph, sim3_opt
+from orbslam2_tpu.backend.ba import BAProblem
+from orbslam2_tpu.frontend import kernels
+from orbslam2_tpu.frontend.local_mapping import kf_keypoints
+from orbslam2_tpu.geometry import sim3
+from orbslam2_tpu.geometry.camera import PinholeCamera
+from orbslam2_tpu.ops import hamming
+from orbslam2_tpu.slammap import covisibility
+from orbslam2_tpu.slammap.keyframe_db import KeyFrameDatabase
+from orbslam2_tpu.slammap.mapstate import MapState
+
+
+@dataclasses.dataclass
+class LoopCloserConfig:
+    scale_factor: float = 1.2
+    n_levels: int = 8
+    fix_scale: bool = True            # false for monocular
+    consistency_threshold: int = 3    # mnCovisibilityConsistencyTh (cc:43)
+    min_kfs_between_loops: int = 10   # cc:133
+    recent_exclude: int = 5           # recency exclusion (see KFDB docstring)
+    min_sim3_matches: int = 20        # cc:323-332
+    min_sim3_inliers: int = 20        # cc:397-401
+    min_total_matches: int = 40       # cc:464-474
+    gba_max_obs: int = 65536
+    run_global_ba: bool = True
+
+
+class LoopCloser:
+    def __init__(self, m: MapState, cam: PinholeCamera, kfdb: KeyFrameDatabase,
+                 cfg: LoopCloserConfig | None = None):
+        self.map = m
+        self.cam = cam
+        self.kfdb = kfdb
+        self.cfg = cfg or LoopCloserConfig()
+        self.last_loop_kf_order = -10**9
+        # consistency chaining state: list of (group set, chain length)
+        self._consistent_groups: List[tuple[Set[int], int]] = []
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf: int, word_ids: np.ndarray) -> bool:
+        """-> True if a loop was closed at this keyframe."""
+        m = self.map
+        w = covisibility.weight_matrix(m)
+        candidates = self._detect_loop(kf, word_ids, w)
+        self.kfdb.add(kf, word_ids)
+        if not candidates:
+            return False
+        ok, loop_kf, s_cw = self._compute_sim3(kf, candidates, w)
+        if not ok:
+            return False
+        self._correct_loop(kf, loop_kf, s_cw, w)
+        self.last_loop_kf_order = int(m.kf_order[kf])
+        self.n_loops_closed += 1
+        return True
+
+    # ------------------------------------------------------------------
+    # DetectLoop (LoopClosing.cc:119-258)
+    # ------------------------------------------------------------------
+    def _detect_loop(self, kf: int, word_ids: np.ndarray, w: np.ndarray) -> List[int]:
+        m = self.map
+        if int(m.kf_order[kf]) - self.last_loop_kf_order < self.cfg.min_kfs_between_loops:
+            self._consistent_groups = []
+            return []
+        if m.n_keyframes() < self.cfg.min_kfs_between_loops:
+            return []
+        # min score among covisible neighbors (cc:144-161)
+        v = self.kfdb.voc.bow_vector(word_ids)
+        neighbors = covisibility.covisible_neighbors(w, kf)
+        min_score = 1.0
+        for nb in neighbors:
+            if self.kfdb.valid[nb]:
+                s = self.kfdb.voc.score_l1(v, self.kfdb.bow[nb])
+                min_score = min(min_score, s)
+        recent = np.abs(m.kf_order - int(m.kf_order[kf])) <= self.cfg.recent_exclude
+        cands = self.kfdb.detect_loop_candidates(kf, min_score, w, m,
+                                                 exclude_mask=recent, query_bow=v)
+        if not cands:
+            self._consistent_groups = []
+            return []
+
+        # consistency chaining (cc:195-258)
+        enough: List[int] = []
+        new_groups: List[tuple[Set[int], int]] = []
+        for cand in cands:
+            group = set([cand, *map(int, covisibility.covisible_neighbors(w, cand))])
+            best_chain = 0
+            for prev_group, chain in self._consistent_groups:
+                if group & prev_group:
+                    best_chain = max(best_chain, chain + 1)
+            new_groups.append((group, best_chain))
+            if best_chain >= self.cfg.consistency_threshold:
+                enough.append(cand)
+        self._consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+    # ComputeSim3 (LoopClosing.cc:282-498)
+    # ------------------------------------------------------------------
+    def _compute_sim3(self, kf: int, candidates: List[int], w: np.ndarray):
+        m = self.map
+        cfg = self.cfg
+        kf_slots = np.where(m.kf_pt[kf] >= 0)[0]
+        if len(kf_slots) < cfg.min_sim3_matches:
+            return False, -1, None
+
+        for cand in candidates:
+            if not m.kf_valid[cand]:
+                continue
+            # match map points by descriptor between the two keyframes
+            cand_slots_mask = (m.kf_pt[cand] >= 0) & m.kf_kp_valid[cand]
+            best_kp, _ = kernels.search_by_descriptor(
+                jnp.asarray(m.kf_kp_desc[kf]),
+                jnp.asarray((m.kf_pt[kf] >= 0) & m.kf_kp_valid[kf]),
+                jnp.asarray(m.kf_kp_angle[kf]),
+                kf_keypoints(m, cand).replace(valid=jnp.asarray(cand_slots_mask)),
+                self.cam, max_hamming=hamming.TH_LOW, ratio=0.75)
+            best_kp = np.asarray(best_kp)
+            pairs = [(i, int(best_kp[i])) for i in np.where(best_kp >= 0)[0]]
+            if len(pairs) < cfg.min_sim3_matches:
+                continue
+
+            n_feat = m.cap.n_features
+            idx1 = np.array([p[0] for p in pairs])
+            idx2 = np.array([p[1] for p in pairs])
+            pid1 = m.kf_pt[kf, idx1]
+            pid2 = m.kf_pt[cand, idx2]
+            keep = (pid1 >= 0) & (pid2 >= 0) & m.pt_valid[np.maximum(pid1, 0)] \
+                & m.pt_valid[np.maximum(pid2, 0)]
+            idx1, idx2, pid1, pid2 = idx1[keep], idx2[keep], pid1[keep], pid2[keep]
+            if len(idx1) < cfg.min_sim3_matches:
+                continue
+
+            # camera-frame coordinates of each matched point pair
+            t1 = m.kf_pose[kf]
+            t2 = m.kf_pose[cand]
+            p1c = m.pt_pos[pid1] @ t1[:3, :3].T + t1[:3, 3]
+            p2c = m.pt_pos[pid2] @ t2[:3, :3].T + t2[:3, 3]
+            cap = 256
+            n = min(len(idx1), cap)
+            pad = cap - n
+            p1c_p = np.pad(p1c[:n], ((0, pad), (0, 0))).astype(np.float32)
+            p2c_p = np.pad(p2c[:n], ((0, pad), (0, 0))).astype(np.float32)
+            valid = np.zeros(cap, bool)
+            valid[:n] = True
+            sf = cfg.scale_factor
+            s1 = sf ** (2.0 * m.kf_kp_octave[kf, idx1[:n]])
+            s2 = sf ** (2.0 * m.kf_kp_octave[cand, idx2[:n]])
+            s1 = np.pad(s1, (0, pad), constant_values=1.0).astype(np.float32)
+            s2 = np.pad(s2, (0, pad), constant_values=1.0).astype(np.float32)
+
+            from orbslam2_tpu.solvers.horn import sim3_ransac
+            res = sim3_ransac(
+                jnp.asarray(p1c_p), jnp.asarray(p2c_p), jnp.asarray(valid),
+                jnp.asarray(s1), jnp.asarray(s2), self.cam,
+                jax.random.PRNGKey(kf * 131 + cand),
+                fix_scale=cfg.fix_scale, min_inliers=cfg.min_sim3_matches)
+            if not bool(res.success):
+                continue
+
+            uv1 = m.kf_kp_xy[kf, idx1[:n]]
+            uv2 = m.kf_kp_xy[cand, idx2[:n]]
+            uv1 = np.pad(uv1, ((0, pad), (0, 0))).astype(np.float32)
+            uv2 = np.pad(uv2, ((0, pad), (0, 0))).astype(np.float32)
+            s12, inl, n_in = sim3_opt.optimize_sim3(
+                res.s12, jnp.asarray(p1c_p), jnp.asarray(p2c_p),
+                jnp.asarray(uv1), jnp.asarray(uv2),
+                jnp.asarray(1.0 / s1), jnp.asarray(1.0 / s2),
+                jnp.asarray(valid) & res.inliers, self.cam,
+                fix_scale=cfg.fix_scale)
+            if int(n_in) < cfg.min_sim3_inliers:
+                continue
+
+            # corrected pose of current KF: S_cw = S_12(cand->cur) * T_cand_w
+            s_mw = sim3.from_se3(jnp.asarray(t2))
+            s_cw = sim3.compose(np.asarray(s12), s_mw)
+
+            # verify with loop-neighborhood projection (cc:420-474)
+            total = self._count_neighborhood_matches(kf, cand, np.asarray(s_cw), w)
+            if total >= cfg.min_total_matches:
+                return True, cand, np.asarray(s_cw)
+        return False, -1, None
+
+    def _count_neighborhood_matches(self, kf: int, cand: int, s_cw: np.ndarray,
+                                    w: np.ndarray) -> int:
+        """Project all points of the candidate's covisible neighborhood into
+        the current KF under the corrected pose; count matches."""
+        m = self.map
+        hood = [cand, *map(int, covisibility.covisible_neighbors(w, cand))]
+        pts = np.unique(m.kf_pt[np.array(hood)])
+        pts = pts[pts >= 0]
+        pts = pts[m.pt_valid[pts]]
+        if len(pts) == 0:
+            return 0
+        cap = 4096
+        pts = pts[:cap]
+        n = len(pts)
+        pos = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 8), np.uint32)
+        valid = np.zeros(cap, bool)
+        normal = np.zeros((cap, 3), np.float32)
+        dmin = np.zeros(cap, np.float32)
+        dmax = np.full(cap, 1.0, np.float32)
+        pos[:n] = m.pt_pos[pts]
+        desc[:n] = m.pt_desc[pts]
+        valid[:n] = True
+        normal[:n] = m.pt_normal[pts]
+        dmin[:n] = m.pt_min_dist[pts]
+        dmax[:n] = m.pt_max_dist[pts]
+        tcw_corr = np.asarray(sim3.to_se3(jnp.asarray(s_cw))).astype(np.float32)
+        info, res = kernels.search_local_points(
+            jnp.asarray(tcw_corr), jnp.asarray(pos), jnp.asarray(desc),
+            jnp.asarray(valid), jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+            kf_keypoints(m, kf), jnp.zeros(m.cap.n_features, bool), 2.0, self.cam,
+            self.cfg.scale_factor, self.cfg.n_levels)
+        return int((np.asarray(res.assoc) >= 0).sum())
+
+    # ------------------------------------------------------------------
+    # CorrectLoop (LoopClosing.cc:500-760)
+    # ------------------------------------------------------------------
+    def _correct_loop(self, kf: int, loop_kf: int, s_cw: np.ndarray, w: np.ndarray):
+        m = self.map
+        cfg = self.cfg
+        window = [kf, *map(int, covisibility.covisible_neighbors(w, kf))]
+
+        # Sim3 for every window KF: S_iw_corr = (T_i T_c^-1) * S_cw (cc:544-585)
+        t_cw = m.kf_pose[kf]
+        corrected: Dict[int, np.ndarray] = {}
+        non_corrected: Dict[int, np.ndarray] = {}
+        for k_i in window:
+            t_iw = m.kf_pose[k_i]
+            t_ic = t_iw @ np.linalg.inv(t_cw)
+            s_ic = np.asarray(sim3.from_se3(jnp.asarray(t_ic.astype(np.float32))))
+            corrected[k_i] = np.asarray(sim3.compose(jnp.asarray(s_ic), jnp.asarray(s_cw)))
+            non_corrected[k_i] = np.asarray(sim3.from_se3(jnp.asarray(t_iw.astype(np.float32))))
+
+        # remap window map points: p' = S_corr^-1 (S_old p) (cc:589-629)
+        done_pts: Set[int] = set()
+        for k_i in window:
+            s_corr_inv = np.asarray(sim3.inverse(jnp.asarray(corrected[k_i])))
+            s_old = non_corrected[k_i]
+            pids = np.unique(m.kf_pt[k_i])
+            pids = pids[pids >= 0]
+            pids = [p for p in pids if m.pt_valid[p] and p not in done_pts]
+            if not pids:
+                continue
+            pids = np.array(pids)
+            p = m.pt_pos[pids]
+            p_cam = p @ s_old[:3, :3].T + s_old[:3, 3]
+            p_new = p_cam @ s_corr_inv[:3, :3].T + s_corr_inv[:3, 3]
+            m.pt_pos[pids] = p_new.astype(np.float32)
+            done_pts.update(int(x) for x in pids)
+            # corrected SE3 pose
+            m.kf_pose[k_i] = np.asarray(sim3.to_se3(
+                jnp.asarray(corrected[k_i]))).astype(np.float32)
+
+        # fuse loop-neighborhood points into the window (cc:651-675, 728-760)
+        from orbslam2_tpu.frontend.local_mapping import LocalMapper
+        hood = [loop_kf, *map(int, covisibility.covisible_neighbors(w, loop_kf))]
+        hood_pts = np.unique(m.kf_pt[np.array(hood)])
+        hood_pts = hood_pts[hood_pts >= 0]
+        hood_pts = hood_pts[m.pt_valid[hood_pts]]
+        fuser = LocalMapper.__new__(LocalMapper)
+        fuser.map = m
+        fuser.cam = self.cam
+        from orbslam2_tpu.frontend.local_mapping import LocalMapperConfig
+        fuser.cfg = LocalMapperConfig(scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
+        for k_i in window:
+            fuser._fuse_points_into_kf(hood_pts, k_i)
+
+        # essential-graph optimization (cc:680-703 -> Optimizer.cc:885)
+        w2 = covisibility.weight_matrix(m)
+        edges = covisibility.essential_edges(m, w2)
+        edges.append((min(kf, loop_kf), max(kf, loop_kf)))
+        edges = sorted(set(edges))
+        m.kf_loop_edges[kf].add(loop_kf)
+        m.kf_loop_edges[loop_kf].add(kf)
+
+        kmax = m.cap.max_keyframes
+        poses_sim3 = np.stack([
+            np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[i].astype(np.float32))))
+            for i in range(kmax)])
+        # window KFs keep their corrected Sim3 (with scale) as the initial value
+        for k_i, s_c in corrected.items():
+            poses_sim3[k_i] = s_c
+        e_i = np.array([e[0] for e in edges], np.int32)
+        e_j = np.array([e[1] for e in edges], np.int32)
+        # measurements from pre-correction relative poses, except edges
+        # within the corrected window / the loop edge, which use corrected
+        # relatives (NonCorrectedSim3 logic, Optimizer.cc:958-1058)
+        meas = []
+        for a, b in edges:
+            s_a = jnp.asarray(corrected.get(a, non_corrected.get(
+                a, np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[a].astype(np.float32)))))))
+            s_b = jnp.asarray(corrected.get(b, non_corrected.get(
+                b, np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[b].astype(np.float32)))))))
+            if (a, b) == (min(kf, loop_kf), max(kf, loop_kf)):
+                s_a = jnp.asarray(poses_sim3[a])
+                s_b = jnp.asarray(poses_sim3[b])
+            meas.append(np.asarray(sim3.compose(s_b, sim3.inverse(s_a))))
+        meas = np.stack(meas).astype(np.float32)
+
+        kf_fixed = np.zeros(kmax, bool)
+        kf_fixed[loop_kf] = True
+        new_sim3, _ = pose_graph.optimize_essential_graph(
+            jnp.asarray(poses_sim3.astype(np.float32)),
+            jnp.asarray(m.kf_valid), jnp.asarray(kf_fixed),
+            jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(meas),
+            jnp.ones(len(e_i), bool), fix_scale=cfg.fix_scale)
+        new_sim3 = np.asarray(new_sim3)
+
+        # apply: remap every point via its reference KF correction
+        # (Optimizer.cc:1122-1152), then convert poses to SE3
+        old_sim3 = {i: np.asarray(sim3.from_se3(jnp.asarray(
+            m.kf_pose[i].astype(np.float32)))) for i in range(kmax) if m.kf_valid[i]}
+        for i, s_c in corrected.items():
+            old_sim3[i] = s_c
+        pids = np.where(m.pt_valid)[0]
+        for p in pids:
+            ref = int(m.pt_ref_kf[p])
+            if ref < 0 or not m.kf_valid[ref]:
+                continue
+            s_old = old_sim3[ref]
+            s_new_inv = np.asarray(sim3.inverse(jnp.asarray(new_sim3[ref])))
+            pc = m.pt_pos[p] @ s_old[:3, :3].T + s_old[:3, 3]
+            m.pt_pos[p] = (pc @ s_new_inv[:3, :3].T + s_new_inv[:3, 3]).astype(np.float32)
+        for i in range(kmax):
+            if m.kf_valid[i]:
+                m.kf_pose[i] = np.asarray(sim3.to_se3(
+                    jnp.asarray(new_sim3[i]))).astype(np.float32)
+        m.change_index += 1
+
+        # global BA (cc:717 RunGlobalBundleAdjustment; inline PCG here)
+        if cfg.run_global_ba:
+            self._global_ba(fixed_kf=loop_kf)
+
+    # ------------------------------------------------------------------
+    def _global_ba(self, fixed_kf: int) -> None:
+        m = self.map
+        cfg = self.cfg
+        kmax = m.cap.max_keyframes
+        pmax = m.cap.max_points
+        ks, slots = np.where(m.kf_pt >= 0)
+        pids = m.kf_pt[ks, slots]
+        keep = m.kf_valid[ks] & m.pt_valid[pids]
+        ks, slots, pids = ks[keep], slots[keep], pids[keep]
+        n_obs = min(len(ks), cfg.gba_max_obs)
+        if n_obs < 100:
+            return
+        o_cam = np.zeros(cfg.gba_max_obs, np.int32)
+        o_pt = np.zeros(cfg.gba_max_obs, np.int32)
+        o_uv = np.zeros((cfg.gba_max_obs, 3), np.float32)
+        o_sig = np.ones(cfg.gba_max_obs, np.float32)
+        o_st = np.zeros(cfg.gba_max_obs, bool)
+        o_val = np.zeros(cfg.gba_max_obs, bool)
+        o_cam[:n_obs] = ks[:n_obs]
+        o_pt[:n_obs] = pids[:n_obs]
+        ur = m.kf_kp_ur[ks[:n_obs], slots[:n_obs]]
+        o_uv[:n_obs, :2] = m.kf_kp_xy[ks[:n_obs], slots[:n_obs]]
+        o_uv[:n_obs, 2] = np.maximum(ur, -1.0)
+        o_sig[:n_obs] = (1.0 / cfg.scale_factor ** 2) ** m.kf_kp_octave[
+            ks[:n_obs], slots[:n_obs]]
+        o_st[:n_obs] = ur >= 0
+        o_val[:n_obs] = True
+
+        cam_fixed = np.zeros(kmax, bool)
+        cam_fixed[fixed_kf] = True
+        cam_fixed[~m.kf_valid] = True
+        pt_fixed = ~m.pt_valid
+
+        problem = BAProblem(
+            poses=jnp.asarray(m.kf_pose.astype(np.float32)),
+            points=jnp.asarray(m.pt_pos.astype(np.float32)),
+            cam_fixed=jnp.asarray(cam_fixed),
+            obs_cam=jnp.asarray(o_cam), obs_pt=jnp.asarray(o_pt),
+            obs_uv=jnp.asarray(o_uv), obs_inv_sigma2=jnp.asarray(o_sig),
+            obs_stereo=jnp.asarray(o_st), obs_valid=jnp.asarray(o_val))
+        res = ba.bundle_adjust_pcg(problem, self.cam, phase_iters=(5, 5),
+                                   point_fixed=jnp.asarray(pt_fixed))
+        new_poses = np.asarray(res.poses)
+        new_points = np.asarray(res.points)
+        live = m.kf_valid & ~cam_fixed
+        m.kf_pose[live] = new_poses[live]
+        m.kf_pose[fixed_kf] = new_poses[fixed_kf]
+        m.pt_pos[m.pt_valid] = new_points[m.pt_valid]

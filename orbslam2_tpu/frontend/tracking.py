@@ -50,6 +50,9 @@ class SLAMConfig:
     min_init_features: int = 500    # stereo/RGBD init gate (Tracking.cc:565)
     max_new_points_per_kf: int = 100  # close-point budget (Tracking.cc:1382)
     localization_only: bool = False
+    # testing/benchmark hook: unconditionally insert a keyframe every N
+    # frames (None = reference keyframe-decision logic only)
+    force_kf_every: Optional[int] = None
 
 
 @dataclasses.dataclass
@@ -86,6 +89,10 @@ class Tracker:
         self.last_reloc_frame_id: int = -1000000
         self.is_mono = False
         self._init_ref: Optional[frame_mod.Frame] = None
+        # place-recognition hooks (set by SLAMSystem when a vocabulary exists)
+        self.vocabulary = None
+        self.kfdb = None
+        self.loop_closer = None
 
     # ------------------------------------------------------------------
     # public API
@@ -178,6 +185,8 @@ class Tracker:
         self.ref_kf = kf
         self.last_kf_frame_id = fr.frame_id
         self._covis_w = covisibility.weight_matrix(self.map)
+        if self.kfdb is not None:
+            self.kfdb.add(kf, self._word_ids(fr))
         if self.local_mapper is not None:
             self.local_mapper.on_first_keyframe(kf)
         return True
@@ -261,6 +270,9 @@ class Tracker:
         # initial global BA (20 iters, Tracking.cc:803)
         if self.local_mapper is not None:
             self.local_mapper._local_ba(kf2, self._covis_w)
+        if self.kfdb is not None:
+            self.kfdb.add(kf1, self._word_ids(ref))
+            self.kfdb.add(kf2, self._word_ids(fr))
         self.ref_kf = kf2
         self.last_kf_frame_id = fr.frame_id
         self._init_ref = None
@@ -337,14 +349,72 @@ class Tracker:
         return self._optimize_frame_pose(fr, min_inliers=10)
 
     # ------------------------------------------------------------------
+    def _word_ids(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
+        if self.vocabulary is None:
+            return None
+        return np.asarray(self.vocabulary.transform_packed(
+            fr.kp.desc, fr.kp.valid))
+
+    # ------------------------------------------------------------------
+    # Relocalization (Tracking::Relocalization, Tracking.cc:1641-1812):
+    # KFDB candidates -> descriptor matching -> EPnP RANSAC -> pose opt.
+    # ------------------------------------------------------------------
     def _relocalize(self, fr: frame_mod.Frame) -> bool:
-        """Placeholder until the place-recognition milestone: try the
-        reference keyframe, mirroring a single-candidate relocalization."""
-        fr.tcw = self.last_frame.tcw.copy() if self.last_frame is not None else np.eye(4, np.float32)
-        ok = self._track_reference_keyframe(fr)
-        if ok:
-            self.last_reloc_frame_id = fr.frame_id
-        return ok
+        if self.kfdb is None:
+            # no vocabulary: single-candidate fallback via the reference KF
+            fr.tcw = self.last_frame.tcw.copy() if self.last_frame is not None \
+                else np.eye(4, dtype=np.float32)
+            ok = self._track_reference_keyframe(fr)
+            if ok:
+                self.last_reloc_frame_id = fr.frame_id
+            return ok
+
+        from orbslam2_tpu.solvers.epnp import epnp_ransac
+        wids = self._word_ids(fr)
+        w = self._covis_w if self._covis_w is not None else covisibility.weight_matrix(self.map)
+        candidates = self.kfdb.detect_reloc_candidates(wids, w)[:5]
+        for cand in candidates:
+            if not self.map.kf_valid[cand]:
+                continue
+            q_valid = (self.map.kf_pt[cand] >= 0) & self.map.kf_kp_valid[cand]
+            best_kp, _ = kernels.search_by_descriptor(
+                jnp.asarray(self.map.kf_kp_desc[cand]), jnp.asarray(q_valid),
+                jnp.asarray(self.map.kf_kp_angle[cand]), fr.kp, self.cam,
+                max_hamming=50, ratio=0.75)
+            best_kp = np.asarray(best_kp)
+            qs = np.where(best_kp >= 0)[0]
+            if len(qs) < 15:
+                continue
+            cap = 512
+            qs = qs[:cap]
+            n = len(qs)
+            pts = np.zeros((cap, 3), np.float32)
+            uv = np.zeros((cap, 2), np.float32)
+            sigma2 = np.ones(cap, np.float32)
+            valid = np.zeros(cap, bool)
+            pids = self.map.kf_pt[cand, qs]
+            pts[:n] = self.map.pt_pos[pids]
+            kp_idx = best_kp[qs]
+            uv[:n] = np.asarray(fr.kp.xy)[kp_idx]
+            sigma2[:n] = self.cfg.orb.scale_factor ** (
+                2.0 * np.asarray(fr.kp.octave)[kp_idx])
+            valid[:n] = self.map.pt_valid[pids]
+            res = epnp_ransac(
+                jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(valid),
+                jnp.asarray(sigma2), self.cam,
+                jax.random.PRNGKey(fr.frame_id * 17 + int(cand)))
+            if not bool(res.success):
+                continue
+            fr.tcw = np.asarray(res.tcw).astype(np.float32)
+            fr.pt_ids[:] = -1
+            inl = np.asarray(res.inliers)
+            for j in np.where(inl[:n])[0]:
+                fr.pt_ids[kp_idx[j]] = pids[j]
+            if self._optimize_frame_pose(fr, min_inliers=10):
+                self.last_reloc_frame_id = fr.frame_id
+                self.ref_kf = int(cand)
+                return True
+        return False
 
     # ------------------------------------------------------------------
     # local-map tracking (Tracking.cc:1125-1188, 1403-1614)
@@ -429,6 +499,9 @@ class Tracker:
         n_kfs = self.map.n_keyframes()
         if n_kfs >= self.cfg.max_keyframes - 2:
             return False
+        if self.cfg.force_kf_every is not None:
+            return (fr.frame_id - self.last_kf_frame_id >= self.cfg.force_kf_every
+                    and self.matches_inliers > 15)
         # reference tracked-point count in the reference keyframe
         min_obs = 3 if n_kfs > 2 else 2
         obs_count = self.map.point_obs_count()
@@ -492,6 +565,14 @@ class Tracker:
         if self.local_mapper is not None:
             self.local_mapper.process_keyframe(kf)
             self._covis_w = covisibility.weight_matrix(self.map)
+        # place recognition: loop detection (adds to the KFDB) or plain add
+        if self.vocabulary is not None and self.map.kf_valid[kf]:
+            wids = self._word_ids(fr)
+            if self.loop_closer is not None:
+                if self.loop_closer.process_keyframe(kf, wids):
+                    self._covis_w = covisibility.weight_matrix(self.map)
+            elif self.kfdb is not None:
+                self.kfdb.add(kf, wids)
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, fr: frame_mod.Frame) -> int:

@@ -63,6 +63,7 @@ class SyntheticSequence:
         seed: int = 0,
         fps: float = 30.0,
         loop: bool = False,
+        world: str = "wall",
     ):
         self.cam = cam
         self.n_frames = n_frames
@@ -70,7 +71,7 @@ class SyntheticSequence:
         rng = np.random.default_rng(seed)
         wall_tex = make_texture(rng, 1024)
         floor_tex = make_texture(rng, 1024)
-        # wall: z = 3, spans ~10x10 m; floor: y = 1.2 (camera looks +z, y down)
+        # wall: z = 3, floor: y = 1.2 (camera looks +z, y down)
         self.planes = [
             Plane(
                 q=np.array([0.0, 0.0, 3.0], np.float32),
@@ -89,6 +90,19 @@ class SyntheticSequence:
                 scale=0.01,
             ),
         ]
+        if world == "room":
+            # three more walls -> a closed box, enabling 360-degree
+            # panoramic trajectories with genuine loop-closure topology
+            for q, n, ex in [
+                (np.array([0.0, 0.0, -3.0]), np.array([0.0, 0.0, 1.0]), np.array([-1.0, 0.0, 0.0])),
+                (np.array([3.0, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0]), np.array([0.0, 0.0, -1.0])),
+                (np.array([-3.0, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0])),
+            ]:
+                self.planes.append(Plane(
+                    q=q.astype(np.float32), n=n.astype(np.float32),
+                    ex=ex.astype(np.float32),
+                    ey=np.array([0.0, 1.0, 0.0], np.float32),
+                    tex=make_texture(rng, 1024), scale=0.008))
         self.poses = self._make_trajectory(trajectory, n_frames, loop)
 
     # ------------------------------------------------------------------
@@ -116,6 +130,22 @@ class SyntheticSequence:
             elif kind == "forward":
                 twc_t = np.array([0.15 * np.sin(2 * np.pi * t), 0.0, 1.5 * t])
                 rvec = np.array([0.0, 0.08 * np.sin(2 * np.pi * t), 0.0])
+            elif kind == "panorama":
+                # 360-degree yaw plus ~70 degrees beyond, with a small
+                # positional wobble: the view leaves the start entirely,
+                # revisits it around t ~ 0.83, and keeps going so several
+                # keyframes land in revisited territory (loop closure
+                # needs consecutive consistent detections)
+                yaw = 2.4 * np.pi * t
+                twc_t = np.array([0.2 * np.sin(yaw), 0.0, 0.2 * (1 - np.cos(yaw))])
+                rvec = np.array([0.0, yaw, 0.0])
+            elif kind == "shuttle":
+                # travel far right along the wall and come back: the view
+                # leaves the start region entirely (covisibility breaks),
+                # then revisits it -> a true loop-closure opportunity
+                x = 3.0 * (1.0 - np.cos(2 * np.pi * t))
+                twc_t = np.array([x, 0.0, 0.05 * np.sin(6 * np.pi * t)])
+                rvec = np.array([0.0, 0.05 * np.sin(2 * np.pi * t), 0.0])
             else:  # orbit
                 ang = 2 * np.pi * t
                 twc_t = np.array([0.5 * np.sin(ang), 0.0, 0.5 * (1 - np.cos(ang))])

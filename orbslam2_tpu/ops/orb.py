@@ -94,6 +94,9 @@ class Keypoints:
     def tree_unflatten(cls, aux, children):
         return cls(*children)
 
+    def replace(self, **kw) -> "Keypoints":
+        return dataclasses.replace(self, **kw)
+
     @property
     def n(self) -> int:
         return self.xy.shape[0]

@@ -1,0 +1,47 @@
+"""Default vocabulary: trained once on this framework's own descriptors.
+
+The reference ships (or expects) a 145 MB ORBvoc.txt trained offline on a
+large image corpus (/root/reference/Vocabulary, absent from the snapshot —
+SURVEY.md §2a). This framework's descriptors use a different BRIEF pattern,
+so a vocabulary must be trained on its own distribution anyway: this module
+renders corner-rich synthetic textures, extracts descriptors with the
+standard extractor, trains a k=10 depth-3 tree (1000 words), and caches the
+result beside the package. Call train_vocabulary directly to build larger
+vocabularies from real imagery.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from orbslam2_tpu.place import vocabulary as voc_mod
+
+_CACHE = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l3.npz")
+
+
+def get_default_vocabulary(force_retrain: bool = False) -> voc_mod.Vocabulary:
+    if not force_retrain and os.path.exists(_CACHE):
+        return voc_mod.load_vocabulary(_CACHE)
+    voc = _train_default()
+    os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
+    voc_mod.save_vocabulary(voc, _CACHE)
+    return voc
+
+
+def _train_default() -> voc_mod.Vocabulary:
+    import jax.numpy as jnp
+    from orbslam2_tpu.io.synthetic import make_texture
+    from orbslam2_tpu.ops.orb import ORBConfig, ORBExtractor
+
+    rng = np.random.default_rng(1234)
+    extractor = ORBExtractor(ORBConfig(n_features=1500, n_levels=4), (480, 640))
+    descs = []
+    for i in range(12):
+        tex = make_texture(rng, 1024)
+        img = tex[:480, :640] if i % 2 == 0 else tex[-480:, -640:]
+        kp = extractor(jnp.asarray(img.astype(np.float32)))
+        d = np.asarray(kp.desc)[np.asarray(kp.valid)]
+        descs.append(d)
+    corpus = np.concatenate(descs)
+    return voc_mod.train_vocabulary(corpus, k=10, levels=3, seed=7)

@@ -67,14 +67,25 @@ class KeyFrameDatabase:
 
     # ------------------------------------------------------------------
     def detect_loop_candidates(self, kf: int, min_score: float,
-                               w: np.ndarray, m) -> List[int]:
-        """Loop candidates for keyframe kf, excluding its covisible set."""
-        v = self.bow[kf]
-        hw = self.bow[kf] > 0
+                               w: np.ndarray, m,
+                               exclude_mask: np.ndarray | None = None,
+                               query_bow: np.ndarray | None = None) -> List[int]:
+        """Loop candidates for keyframe kf, excluding its covisible set.
+
+        `exclude_mask`: extra exclusions (e.g. temporally recent keyframes —
+        in the reference these are implicitly excluded because its denser
+        covisibility graph marks them as connected).
+        `query_bow`: the query's bow vector — required when kf has not been
+        added to the database yet (detection runs before insertion,
+        LoopClosing.cc:270-276)."""
+        v = query_bow if query_bow is not None else self.bow[kf]
+        hw = v > 0
         common = (self.has_word & hw[None, :]).sum(axis=1)
         connected = np.zeros(len(self.valid), bool)
         connected[w[kf] > 0] = True
         connected[kf] = True
+        if exclude_mask is not None:
+            connected |= exclude_mask
         eligible = self.valid & ~connected & (common > 0)
         if not eligible.any():
             return []

@@ -27,7 +27,12 @@ class Sensor(enum.Enum):
 
 
 class SLAMSystem:
-    def __init__(self, config: SLAMConfig, sensor: Sensor):
+    def __init__(self, config: SLAMConfig, sensor: Sensor, vocabulary=None):
+        """`vocabulary`: an orbslam2_tpu.place.vocabulary.Vocabulary (or
+        None to disable place recognition — loop closing and BoW
+        relocalization need it, basic tracking does not). Mirrors the
+        System(voc, settings, sensor, useViewer) constructor
+        (/root/reference/src/System.cc:37)."""
         self.cfg = config
         self.sensor = sensor
         self.map = MapState(MapCapacity(
@@ -39,7 +44,23 @@ class SLAMSystem:
             LocalMapperConfig(scale_factor=config.orb.scale_factor,
                               n_levels=config.orb.n_levels,
                               monocular=(sensor == Sensor.MONOCULAR)))
+        self.vocabulary = vocabulary
+        self.kfdb = None
+        self.loop_closer = None
+        if vocabulary is not None:
+            from orbslam2_tpu.frontend.loop_closing import LoopCloser, LoopCloserConfig
+            from orbslam2_tpu.slammap.keyframe_db import KeyFrameDatabase
+            self.kfdb = KeyFrameDatabase(vocabulary, config.max_keyframes)
+            self.loop_closer = LoopCloser(
+                self.map, config.cam, self.kfdb,
+                LoopCloserConfig(scale_factor=config.orb.scale_factor,
+                                 n_levels=config.orb.n_levels,
+                                 fix_scale=(sensor != Sensor.MONOCULAR)))
+            self.local_mapper.kfdb = self.kfdb
         self.tracker = Tracker(config, self.map, self.local_mapper)
+        self.tracker.vocabulary = vocabulary
+        self.tracker.kfdb = self.kfdb
+        self.tracker.loop_closer = self.loop_closer
 
     # ------------------------------------------------------------------
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float
