@@ -74,6 +74,47 @@ def build_frame_rgbd(
     )
 
 
+def build_frame_stereo(
+    frame_id: int,
+    timestamp: float,
+    gray_left: np.ndarray,
+    gray_right: np.ndarray,
+    extractor: ORBExtractor,
+    cam: PinholeCamera,
+    extract_fn=None,
+    scale_factor: float = 1.2,
+) -> Frame:
+    """Stereo frame: extract ORB in both images (the reference uses two
+    std::threads, Frame.cc:82-85; here the second extraction is simply a
+    second device call on the same compiled program), then row-constrained
+    left-right matching (ops/stereo.py)."""
+    from orbslam2_tpu.ops.stereo import match_stereo
+
+    fn = extract_fn if extract_fn is not None else extractor
+    gl = jnp.asarray(gray_left, dtype=jnp.float32)
+    gr = jnp.asarray(gray_right, dtype=jnp.float32)
+    kp_l = fn(gl)
+    kp_r = fn(gr)
+    ur, depth = match_stereo(kp_l, kp_r, gl, gr, cam, scale_factor,
+                             extractor.config.n_levels)
+    und_xy = cam.undistort_points(kp_l.xy)
+    kp = Keypoints(
+        xy=und_xy, response=kp_l.response, angle=kp_l.angle, octave=kp_l.octave,
+        size=kp_l.size, desc=kp_l.desc, valid=kp_l.valid,
+    )
+    n = kp.n
+    return Frame(
+        frame_id=frame_id,
+        timestamp=timestamp,
+        kp=kp,
+        ur=ur,
+        depth=depth,
+        tcw=np.eye(4, dtype=np.float32),
+        pt_ids=np.full(n, -1, np.int32),
+        is_outlier=np.zeros(n, bool),
+    )
+
+
 def build_frame_mono(
     frame_id: int,
     timestamp: float,

@@ -104,6 +104,14 @@ class Tracker:
         self.frame_counter += 1
         return self._track(fr)
 
+    def track_stereo(self, left: np.ndarray, right: np.ndarray,
+                     timestamp: float) -> Optional[np.ndarray]:
+        fr = frame_mod.build_frame_stereo(
+            self.frame_counter, timestamp, left, right, self.extractor, self.cam,
+            extract_fn=self._extract_jit, scale_factor=self.cfg.orb.scale_factor)
+        self.frame_counter += 1
+        return self._track(fr)
+
     def track_mono(self, gray: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
         self.is_mono = True
         fr = frame_mod.build_frame_mono(

@@ -36,13 +36,16 @@ def make_texture(rng: np.random.Generator, size: int = 1024) -> np.ndarray:
 @dataclasses.dataclass
 class Plane:
     """Textured plane: point q, unit normal n (towards cameras), in-plane
-    axes (ex, ey) carrying the texture at `scale` meters/texel."""
+    axes (ex, ey) carrying the texture at `scale` meters/texel.
+    `extent`: optional (half-width, half-height) in meters — None means
+    infinite (texture wraps)."""
     q: np.ndarray
     n: np.ndarray
     ex: np.ndarray
     ey: np.ndarray
     tex: np.ndarray
     scale: float = 0.01
+    extent: tuple | None = None
 
 
 class SyntheticSequence:
@@ -90,6 +93,22 @@ class SyntheticSequence:
                 scale=0.01,
             ),
         ]
+        if world == "cluttered":
+            # bounded panels at different depths: breaks the single-plane
+            # yaw/translation degeneracy that dominates "wall" worlds
+            panels = [
+                (np.array([-0.9, -0.1, 1.8]), 0.45),
+                (np.array([0.9, 0.2, 2.2]), 0.5),
+                (np.array([0.1, -0.4, 1.4]), 0.3),
+            ]
+            for q, half in panels:
+                self.planes.append(Plane(
+                    q=q.astype(np.float32),
+                    n=np.array([0.0, 0.0, -1.0], np.float32),
+                    ex=np.array([1.0, 0.0, 0.0], np.float32),
+                    ey=np.array([0.0, 1.0, 0.0], np.float32),
+                    tex=make_texture(rng, 512), scale=0.004,
+                    extent=(half, half)))
         if world == "room":
             # three more walls -> a closed box, enabling 360-degree
             # panoramic trajectories with genuine loop-closure topology
@@ -189,8 +208,16 @@ class SyntheticSequence:
                 continue
             s_safe = np.where(hit, s, 1.0)
             pts_w = owc[None, None, :] + s_safe[..., None] * dirs_w
-            tu = ((pts_w - plane.q) @ plane.ex) / plane.scale
-            tv = ((pts_w - plane.q) @ plane.ey) / plane.scale
+            um = (pts_w - plane.q) @ plane.ex
+            vm = (pts_w - plane.q) @ plane.ey
+            if plane.extent is not None:
+                hit = hit & (np.abs(um) <= plane.extent[0]) & (np.abs(vm) <= plane.extent[1])
+                z = np.where(hit, z, np.inf)
+                closer = z < depth
+                if not closer.any():
+                    continue
+            tu = um / plane.scale
+            tv = vm / plane.scale
             th, tw = plane.tex.shape
             tu = np.mod(tu, tw - 1)
             tv = np.mod(tv, th - 1)
