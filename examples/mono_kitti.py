@@ -1,0 +1,22 @@
+"""Monocular driver for KITTI odometry (reference: Examples/Monocular/mono_kitti.cc)."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from examples.common import build_parser, make_system, run_loop, save_outputs
+from orbslam2_tpu.io.datasets import kitti_mono_frames
+from orbslam2_tpu.system import Sensor
+
+
+def main():
+    p = build_parser("Monocular SLAM on a KITTI odometry sequence")
+    p.add_argument("sequence_dir")
+    args = p.parse_args()
+    system = make_system(args, Sensor.MONOCULAR)
+    run_loop(system, kitti_mono_frames(args.sequence_dir),
+             lambda s, it: s.track_monocular(it.gray, it.timestamp),
+             args.max_frames)
+    save_outputs(system, args)
+
+
+if __name__ == "__main__":
+    main()

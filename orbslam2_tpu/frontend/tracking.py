@@ -353,7 +353,10 @@ class Tracker:
         fr.pt_ids[:] = -1
         for q in np.where(best_kp >= 0)[0]:
             fr.pt_ids[best_kp[q]] = kf_pt[q]
-        fr.tcw = self.last_frame.tcw.copy()
+        if self.last_frame is not None:
+            fr.tcw = self.last_frame.tcw.copy()
+        else:  # e.g. first frame after a map load: start from the ref KF
+            fr.tcw = self.map.kf_pose[kf].copy()
         return self._optimize_frame_pose(fr, min_inliers=10)
 
     # ------------------------------------------------------------------

@@ -274,3 +274,42 @@ class MapState:
     def clear(self) -> None:
         """Map::clear (/root/reference/src/Map.cc:117-130)."""
         self.__init__(self.cap)
+
+    # ------------------------------------------------------------------
+    # persistence — SaveMap/LoadMap is an unimplemented TODO in the
+    # reference (System.h:115-117); with an array map it is one npz.
+    # ------------------------------------------------------------------
+    _SAVE_FIELDS = [
+        "kf_valid", "kf_pose", "kf_timestamp", "kf_frame_id", "kf_kp_xy",
+        "kf_kp_octave", "kf_kp_angle", "kf_kp_response", "kf_kp_desc",
+        "kf_kp_valid", "kf_kp_ur", "kf_kp_depth", "kf_pt", "kf_parent",
+        "kf_order", "pt_valid", "pt_pos", "pt_desc", "pt_normal",
+        "pt_min_dist", "pt_max_dist", "pt_ref_kf", "pt_first_kf",
+        "pt_visible", "pt_found", "pt_first_frame",
+    ]
+
+    def save(self, path: str) -> None:
+        data = {f: getattr(self, f) for f in self._SAVE_FIELDS}
+        data["cap"] = np.array([self.cap.max_keyframes, self.cap.max_points,
+                                self.cap.n_features])
+        data["kf_counter"] = np.array([self._kf_counter])
+        data["loop_edges"] = np.array(
+            [[k, e] for k in range(self.cap.max_keyframes)
+             for e in self.kf_loop_edges[k]], np.int64).reshape(-1, 2)
+        np.savez_compressed(path, **data)
+
+    @classmethod
+    def load(cls, path: str) -> "MapState":
+        z = np.load(path)
+        cap = MapCapacity(*[int(v) for v in z["cap"]])
+        m = cls(cap)
+        for f in cls._SAVE_FIELDS:
+            getattr(m, f)[...] = z[f]
+        m._kf_counter = int(z["kf_counter"][0])
+        for k, e in z["loop_edges"]:
+            m.kf_loop_edges[int(k)].add(int(e))
+        m._kf_free = [k for k in range(cap.max_keyframes - 1, -1, -1)
+                      if not m.kf_valid[k]]
+        m._pt_free = [p for p in range(cap.max_points - 1, -1, -1)
+                      if not m.pt_valid[p]]
+        return m

