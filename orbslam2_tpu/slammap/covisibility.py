@@ -24,7 +24,14 @@ LOCAL_MAP_MAX_KF = 80
 
 
 def weight_matrix(m) -> np.ndarray:
-    """[K, K] int32 covisibility weights (shared map points), zero diagonal."""
+    """[K, K] int32 covisibility weights (shared map points), zero diagonal.
+    Uses the native engine (native/mapgraph.cpp) when built."""
+    from orbslam2_tpu.slammap.mapstate import _use_native
+    if _use_native():
+        from orbslam2_tpu.slammap import native
+        w = native.covis_weights(m.kf_pt, m.kf_valid, m.pt_valid)
+        if w is not None:
+            return w
     inc = m.incidence()
     w = (inc.astype(np.int32) @ inc.astype(np.int32).T)
     np.fill_diagonal(w, 0)

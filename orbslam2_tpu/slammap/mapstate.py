@@ -25,6 +25,11 @@ import numpy as np
 from orbslam2_tpu.ops.orb import DESC_WORDS
 
 
+def _use_native() -> bool:
+    import os
+    return os.environ.get("ORBSLAM2_TPU_NATIVE", "1") != "0"
+
+
 @dataclasses.dataclass
 class MapCapacity:
     max_keyframes: int = 256
@@ -179,8 +184,13 @@ class MapState:
         return [(int(k), int(s)) for k, s in zip(ks, slots) if self.kf_valid[k]]
 
     def point_obs_count(self) -> np.ndarray:
-        """[P] number of keyframe observations per point (vectorized)."""
+        """[P] number of keyframe observations per point."""
         p = self.cap.max_points
+        if _use_native():
+            from orbslam2_tpu.slammap import native
+            out = native.point_obs_count(self.kf_pt, self.kf_valid, p)
+            if out is not None:
+                return out.astype(np.int64)
         counts = np.zeros(p + 1, np.int64)
         obs = self.kf_pt[self.kf_valid]
         flat = obs[obs >= 0]
@@ -258,9 +268,15 @@ class MapState:
                                            n_levels: int) -> None:
         """Batch re-compute representative descriptor (min median Hamming,
         MapPoint::ComputeDistinctiveDescriptors MapPoint.cc:266-340) and
-        viewing normal / scale band (UpdateNormalAndDepth MapPoint.cc:371-421)."""
+        viewing normal / scale band (UpdateNormalAndDepth MapPoint.cc:371-421).
+        Uses the native C++ engine when built (slammap/native.py)."""
+        pts = np.asarray(pts, np.int64)
+        if _use_native():
+            from orbslam2_tpu.slammap import native
+            if native.update_point_stats(self, pts, scale_factor, n_levels):
+                return
         from orbslam2_tpu.slammap import point_stats
-        point_stats.update_points(self, np.asarray(pts, np.int64), scale_factor, n_levels)
+        point_stats.update_points(self, pts, scale_factor, n_levels)
 
     def increase_visible(self, pts: np.ndarray) -> None:
         self.pt_visible[pts] += 1
