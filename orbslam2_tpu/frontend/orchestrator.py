@@ -1,0 +1,83 @@
+"""Async orchestration: background mapping/loop-closing worker.
+
+The reference runs LocalMapping and LoopClosing as persistent threads fed by
+mutex-guarded keyframe queues (System.cc:97-103, LocalMapping.cc:47-123,
+LoopClosing.cc:64-98), with tracking holding the global map lock per frame
+(Tracking.cc:299). This orchestrator reproduces that architecture with one
+worker thread consuming a keyframe queue and running the two stages in
+order; the tracker keeps latency-critical per-frame work on the caller's
+thread and hands keyframes off without blocking.
+
+A single re-entrant map lock plays the role of Map::mMutexMapUpdate: the
+tracker takes it for the duration of a frame step; the worker takes it
+around each mapping stage, so tracking observes consistent snapshots.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+
+class MappingWorker:
+    def __init__(self, local_mapper, loop_closer, map_lock: threading.RLock):
+        self.local_mapper = local_mapper
+        self.loop_closer = loop_closer
+        self.map_lock = map_lock
+        self.queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._idle = threading.Event()
+        self._idle.set()
+        self.loops_closed = 0
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="mapping-worker")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def insert_keyframe(self, kf: int, word_ids: Optional[np.ndarray]) -> None:
+        """Tracking -> mapping handoff (LocalMapping::InsertKeyFrame)."""
+        self._idle.clear()
+        self.queue.put((kf, word_ids))
+
+    def queue_size(self) -> int:
+        return self.queue.qsize()
+
+    def accept_keyframes(self) -> bool:
+        """LocalMapping::AcceptKeyFrames analogue: don't pile up keyframes
+        faster than the worker drains them (LocalMapping.cc:624-640)."""
+        return self.queue.qsize() < 3
+
+    def wait_idle(self, timeout: float = 60.0) -> bool:
+        return self._idle.wait(timeout)
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.queue.put(None)
+        self._thread.join(timeout=60.0)
+
+    # ------------------------------------------------------------------
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            try:
+                item = self.queue.get(timeout=0.5)
+            except queue.Empty:
+                self._idle.set()
+                continue
+            if item is None:
+                break
+            kf, word_ids = item
+            try:
+                with self.map_lock:
+                    if self.local_mapper is not None:
+                        self.local_mapper.process_keyframe(kf)
+                if self.loop_closer is not None and word_ids is not None:
+                    with self.map_lock:
+                        if self.loop_closer.process_keyframe(kf, word_ids):
+                            self.loops_closed += 1
+            except Exception:  # pragma: no cover - worker must not die
+                import traceback
+                traceback.print_exc()
+            if self.queue.empty():
+                self._idle.set()

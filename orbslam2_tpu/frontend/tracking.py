@@ -50,6 +50,9 @@ class SLAMConfig:
     min_init_features: int = 500    # stereo/RGBD init gate (Tracking.cc:565)
     max_new_points_per_kf: int = 100  # close-point budget (Tracking.cc:1382)
     localization_only: bool = False
+    # run local mapping + loop closing on a background worker thread
+    # (reference thread architecture); False = synchronous per keyframe
+    async_mapping: bool = False
     # testing/benchmark hook: unconditionally insert a keyframe every N
     # frames (None = reference keyframe-decision logic only)
     force_kf_every: Optional[int] = None
@@ -93,6 +96,10 @@ class Tracker:
         self.vocabulary = None
         self.kfdb = None
         self.loop_closer = None
+        # async orchestration (set by SLAMSystem when async_mapping is on)
+        import threading
+        self.map_lock = threading.RLock()
+        self.mapping_worker = None
 
     # ------------------------------------------------------------------
     # public API
@@ -124,6 +131,12 @@ class Tracker:
     # main state machine (Tracking::Track, Tracking.cc:290-559)
     # ------------------------------------------------------------------
     def _track(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
+        # global map lock for the whole step, like the reference's
+        # mMutexMapUpdate hold across Track() (Tracking.cc:299)
+        with self.map_lock:
+            return self._track_locked(fr)
+
+    def _track_locked(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             self.state = TrackingState.NOT_INITIALIZED
             if self.is_mono:
@@ -160,6 +173,13 @@ class Tracker:
         else:
             self.state = TrackingState.LOST
             self.velocity = None
+            # auto-reset when lost right after initialization
+            # (Tracking.cc:526-533: <= 5 keyframes in the map)
+            if self.map.n_keyframes() <= 5 and not self.cfg.localization_only:
+                self._record_trajectory(fr, lost=True)
+                self.last_frame = fr
+                self.reset()
+                return None
 
         self._record_trajectory(fr, lost=not ok)
         self.last_frame = fr
@@ -360,6 +380,25 @@ class Tracker:
         return self._optimize_frame_pose(fr, min_inliers=10)
 
     # ------------------------------------------------------------------
+    def reset(self) -> None:
+        """Tracking::Reset (Tracking.cc:1815-1861): clear map, database and
+        tracking state; trajectory bookkeeping survives for export (entries
+        referencing cleared keyframes resolve to their last pose)."""
+        self.map.clear()
+        if self.kfdb is not None:
+            self.kfdb.__init__(self.kfdb.voc, self.cfg.max_keyframes)
+        if self.loop_closer is not None:
+            self.loop_closer.last_loop_kf_order = -10 ** 9
+            self.loop_closer._consistent_groups = []
+        if self.local_mapper is not None:
+            self.local_mapper._recent.clear()
+        self.state = TrackingState.NOT_INITIALIZED
+        self.velocity = None
+        self.ref_kf = -1
+        self._init_ref = None
+        self._covis_w = None
+
+    # ------------------------------------------------------------------
     def _word_ids(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
         if self.vocabulary is None:
             return None
@@ -510,6 +549,10 @@ class Tracker:
         n_kfs = self.map.n_keyframes()
         if n_kfs >= self.cfg.max_keyframes - 2:
             return False
+        # async mode: don't outrun the mapping worker (the reference's
+        # bLocalMappingIdle gate, Tracking.cc:1223-1297)
+        if self.mapping_worker is not None and not self.mapping_worker.accept_keyframes():
+            return False
         if self.cfg.force_kf_every is not None:
             return (fr.frame_id - self.last_kf_frame_id >= self.cfg.force_kf_every
                     and self.matches_inliers > 15)
@@ -573,12 +616,16 @@ class Tracker:
                 np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
         self._covis_w = covisibility.weight_matrix(self.map)
         covisibility.assign_spanning_parent(self.map, self._covis_w, kf)
+        wids = self._word_ids(fr) if self.vocabulary is not None else None
+        if self.mapping_worker is not None:
+            # async: hand the keyframe to the background worker
+            self.mapping_worker.insert_keyframe(kf, wids)
+            return
         if self.local_mapper is not None:
             self.local_mapper.process_keyframe(kf)
             self._covis_w = covisibility.weight_matrix(self.map)
         # place recognition: loop detection (adds to the KFDB) or plain add
-        if self.vocabulary is not None and self.map.kf_valid[kf]:
-            wids = self._word_ids(fr)
+        if wids is not None and self.map.kf_valid[kf]:
             if self.loop_closer is not None:
                 if self.loop_closer.process_keyframe(kf, wids):
                     self._covis_w = covisibility.weight_matrix(self.map)

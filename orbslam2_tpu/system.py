@@ -61,6 +61,12 @@ class SLAMSystem:
         self.tracker.vocabulary = vocabulary
         self.tracker.kfdb = self.kfdb
         self.tracker.loop_closer = self.loop_closer
+        self.mapping_worker = None
+        if config.async_mapping:
+            from orbslam2_tpu.frontend.orchestrator import MappingWorker
+            self.mapping_worker = MappingWorker(
+                self.local_mapper, self.loop_closer, self.tracker.map_lock)
+            self.tracker.mapping_worker = self.mapping_worker
 
     # ------------------------------------------------------------------
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float
@@ -91,12 +97,24 @@ class SLAMSystem:
 
     def reset(self) -> None:
         """System::Reset (System.cc:320, Tracking.cc:1815)."""
-        self.map.clear()
-        self.tracker.__init__(self.cfg, self.map, self.local_mapper)
-        self.local_mapper.__init__(self.map, self.cfg.cam, self.local_mapper.cfg)
+        self.wait_mapping_idle()
+        with self.tracker.map_lock:
+            self.tracker.reset()
 
     def shutdown(self) -> None:
-        pass  # no threads to join in the synchronous orchestrator
+        """System::Shutdown (System.cc:329): drain and join the worker."""
+        if self.mapping_worker is not None:
+            self.mapping_worker.wait_idle()
+            self.mapping_worker.stop()
+            self.mapping_worker = None
+            self.tracker.mapping_worker = None
+
+    def wait_mapping_idle(self, timeout: float = 60.0) -> bool:
+        """Block until background mapping has drained (useful before
+        trajectory export or map save in async mode)."""
+        if self.mapping_worker is not None:
+            return self.mapping_worker.wait_idle(timeout)
+        return True
 
     # ------------------------------------------------------------------
     def tracking_state(self) -> TrackingState:
