@@ -162,7 +162,12 @@ class Tracker:
         if ok and not self.cfg.localization_only:
             ok = self._track_local_map(fr)
         elif ok:
-            ok = self._track_local_map(fr)
+            # localization mode: away from the map, visual odometry on
+            # temporal points keeps the pose alive (the reference's mbVO
+            # state, Tracking.cc:354-424)
+            n_mm_inliers = self.matches_inliers
+            ok_local = self._track_local_map(fr)
+            ok = ok_local or n_mm_inliers >= 20
 
         if ok:
             self.state = TrackingState.OK
@@ -308,14 +313,37 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _update_last_frame(self) -> None:
-        """Refresh last frame's pose from its reference keyframe
-        (Tracking::UpdateLastFrame, Tracking.cc:949-961; the VO temporal-point
-        machinery of localization mode is handled separately)."""
+        """Refresh last frame's pose from its reference keyframe and, in
+        localization mode with depth, synthesize temporal "visual odometry"
+        points for unmatched close keypoints
+        (Tracking::UpdateLastFrame, Tracking.cc:949-1028)."""
+        self._vo_mask = None
+        self._vo_pos = None
         if not self.trajectory:
             return
         entry = self.trajectory[-1]
         if entry.ref_kf >= 0 and self.map.kf_valid[entry.ref_kf]:
             self.last_frame.tcw = entry.tcr @ self.map.kf_pose[entry.ref_kf]
+        if not self.cfg.localization_only:
+            return
+        last = self.last_frame
+        depth = np.asarray(last.depth)
+        valid = np.asarray(last.kp.valid)
+        cand = np.where(valid & (depth > 0) & (last.pt_ids < 0))[0]
+        if len(cand) == 0:
+            return
+        order = cand[np.argsort(depth[cand])]
+        close = order[(depth[order] < self.cfg.th_depth)]
+        take = order[:max(len(close), min(100, len(order)))]
+        xy = np.asarray(last.kp.xy)[take]
+        pc = np.asarray(self.cam.backproject(
+            jnp.asarray(xy), jnp.asarray(depth[take])))
+        twc = np.linalg.inv(last.tcw)
+        pw = pc @ twc[:3, :3].T + twc[:3, 3]
+        self._vo_mask = np.zeros(last.n, bool)
+        self._vo_mask[take] = True
+        self._vo_pos = np.zeros((last.n, 3), np.float32)
+        self._vo_pos[take] = pw
 
     # ------------------------------------------------------------------
     # motion-model tracking (Tracking.cc:1036-1123)
@@ -324,11 +352,16 @@ class Tracker:
         last = self.last_frame
         tcw_pred = (self.velocity @ last.tcw).astype(np.float32)
         last_pt = last.pt_ids
-        has_pt = (last_pt >= 0) & self.map.pt_valid[np.maximum(last_pt, 0)]
+        has_map_pt = (last_pt >= 0) & self.map.pt_valid[np.maximum(last_pt, 0)]
+        vo = getattr(self, "_vo_mask", None)
+        has_pt = has_map_pt if vo is None else (has_map_pt | vo)
         if has_pt.sum() < 10:
             return False
         pos = np.zeros((last.n, 3), np.float32)
-        pos[has_pt] = self.map.pt_pos[last_pt[has_pt]]
+        pos[has_map_pt] = self.map.pt_pos[last_pt[has_map_pt]]
+        if vo is not None:
+            only_vo = vo & ~has_map_pt
+            pos[only_vo] = self._vo_pos[only_vo]
 
         res = kernels.search_by_projection_last(
             jnp.asarray(tcw_pred), jnp.asarray(pos), jnp.asarray(has_pt),
@@ -351,8 +384,19 @@ class Tracker:
         fr.pt_ids[:] = -1
         m = assoc >= 0
         fr.pt_ids[m] = last_pt[assoc[m]]
+        aux_pos = aux_mask = None
+        if vo is not None:
+            # matches landing on temporal VO points carry their own 3D
+            # position instead of a map id
+            aux_mask = np.zeros(fr.n, bool)
+            aux_pos = np.zeros((fr.n, 3), np.float32)
+            idx = np.where(m & (fr.pt_ids < 0))[0]
+            idx = idx[vo[assoc[idx]]]
+            aux_mask[idx] = True
+            aux_pos[idx] = pos[assoc[idx]]
         fr.tcw = tcw_pred
-        return self._optimize_frame_pose(fr, min_inliers=10)
+        return self._optimize_frame_pose(fr, min_inliers=10,
+                                         aux_pos=aux_pos, aux_mask=aux_mask)
 
     # ------------------------------------------------------------------
     # reference-KF tracking (Tracking.cc:891-947)
@@ -519,14 +563,22 @@ class Tracker:
         return ok
 
     # ------------------------------------------------------------------
-    def _optimize_frame_pose(self, fr: frame_mod.Frame, min_inliers: int) -> bool:
+    def _optimize_frame_pose(self, fr: frame_mod.Frame, min_inliers: int,
+                             aux_pos: Optional[np.ndarray] = None,
+                             aux_mask: Optional[np.ndarray] = None) -> bool:
+        """aux_pos/aux_mask: per-slot world positions for observations that
+        are not map points (localization-mode VO points)."""
         has_pt = fr.pt_ids >= 0
-        if has_pt.sum() < 4:
+        used = has_pt if aux_mask is None else (has_pt | aux_mask)
+        if used.sum() < 4:
             return False
         pos = np.zeros((fr.n, 3), np.float32)
         pos[has_pt] = self.map.pt_pos[fr.pt_ids[has_pt]]
+        if aux_mask is not None:
+            sel = aux_mask & ~has_pt
+            pos[sel] = aux_pos[sel]
         obs = kernels.build_pose_obs_from_frame(
-            fr.kp, fr.ur, jnp.asarray(pos), jnp.asarray(has_pt),
+            fr.kp, fr.ur, jnp.asarray(pos), jnp.asarray(used),
             self.cfg.orb.scale_factor)
         tcw, inlier, n_in = pose_opt.pose_optimization(
             jnp.asarray(fr.tcw), obs, self.cam)
