@@ -35,7 +35,9 @@ def main() -> None:
     from orbslam2_tpu.geometry.camera import PinholeCamera
     from orbslam2_tpu.io.synthetic import SyntheticSequence
 
-    fn, example_args = entry()
+    # reference workload: 2000 features, 8 pyramid levels at 640x480
+    # (Examples/Monocular/KITTI00-02.yaml:29-35)
+    fn, example_args = entry(n_features=2000, n_levels=8)
     fn_jit = jax.jit(fn)
     (_, tcw0, pt_pos0, pt_desc0, pt_valid0, pt_normal0, pt_min0, pt_max0) = example_args
     local_cap = pt_pos0.shape[0]
@@ -53,7 +55,7 @@ def main() -> None:
     jax.block_until_ready(out)  # compile
     # keypoints of frame 0 (reuse the extractor through entry's closure)
     from orbslam2_tpu.ops.orb import ORBConfig, ORBExtractor
-    cfg = ORBConfig(n_features=1024, n_levels=4)
+    cfg = ORBConfig(n_features=2000, n_levels=8)
     extractor = ORBExtractor(cfg, (480, 640))
     kp0 = jax.jit(extractor.__call__)(img0)
     jax.block_until_ready(kp0.xy)
