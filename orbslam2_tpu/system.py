@@ -130,6 +130,44 @@ class SLAMSystem:
         return lf.pt_ids[lf.pt_ids >= 0]
 
     # ------------------------------------------------------------------
+    def global_bundle_adjust(self, iters: int = 10) -> None:
+        """Full-map bundle adjustment (GlobalBundleAdjustemnt,
+        /root/reference/src/Optimizer.cc:48): PCG Schur over every valid
+        observation, first keyframe fixed."""
+        self.wait_mapping_idle()
+        with self.tracker.map_lock:
+            ids = self.map.keyframe_ids()
+            if len(ids) < 2:
+                return
+            from orbslam2_tpu.frontend.loop_closing import LoopCloser, LoopCloserConfig
+            gba = LoopCloser.__new__(LoopCloser)
+            gba.map = self.map
+            gba.cam = self.cfg.cam
+            gba.cfg = LoopCloserConfig(
+                scale_factor=self.cfg.orb.scale_factor,
+                n_levels=self.cfg.orb.n_levels)
+            gba._global_ba(fixed_kf=int(ids[0]))
+            self.map.change_index += 1
+
+    def change_calibration(self, cam) -> None:
+        """Tracking::ChangeCalibration (Tracking.cc:1863): swap camera
+        intrinsics; takes effect from the next frame (kernels recompile
+        for the new static camera)."""
+        self.cfg.cam = cam
+        self.tracker.cam = cam
+        self.tracker.cfg.cam = cam
+        self.local_mapper.cam = cam
+        if self.loop_closer is not None:
+            self.loop_closer.cam = cam
+
+    def get_tracked_keypoints(self):
+        """Undistorted keypoints of the last frame (GetTrackedKeyPointsUn,
+        System.cc:516-524). -> (xy [N,2], tracked mask [N])."""
+        lf = self.tracker.last_frame
+        if lf is None:
+            return np.zeros((0, 2), np.float32), np.zeros(0, bool)
+        return np.asarray(lf.kp.xy), (lf.pt_ids >= 0) & ~lf.is_outlier
+
     def save_map(self, path: str) -> None:
         """Persist the full map (the reference leaves SaveMap as a TODO,
         System.h:115-117; array maps make it one compressed npz)."""

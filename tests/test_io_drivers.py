@@ -147,3 +147,27 @@ class TestHeadlessViewer:
         m_img = draw_map_topdown(s.map, s.tracker.full_trajectory_twc())
         assert m_img.shape == (640, 640, 3)
         assert (m_img < 250).any()  # something was drawn
+
+
+class TestSystemAPI:
+    def test_global_ba_and_calibration(self):
+        from orbslam2_tpu.frontend.tracking import SLAMConfig
+        from orbslam2_tpu.ops.orb import ORBConfig
+        seq = SyntheticSequence(CAM, n_frames=12, trajectory="forward", seed=6)
+        cfg = SLAMConfig(cam=CAM, orb=ORBConfig(n_features=800, n_levels=4),
+                         th_depth=4.0, max_keyframes=32, max_points=8192,
+                         local_point_cap=2048, max_frames_between_kf=5,
+                         min_init_features=300, force_kf_every=4)
+        s = SLAMSystem(cfg, Sensor.RGBD)
+        for i in range(12):
+            gray, depth = seq.render(i)
+            s.track_rgbd(gray, depth, i / seq.fps)
+        assert s.map.n_keyframes() >= 3
+        poses_before = s.map.kf_pose.copy()
+        s.global_bundle_adjust()
+        # GBA ran and left a consistent map (first KF = gauge, unchanged)
+        ids = s.map.keyframe_ids()
+        np.testing.assert_allclose(s.map.kf_pose[ids[0]], poses_before[ids[0]],
+                                   atol=1e-6)
+        xy, tracked = s.get_tracked_keypoints()
+        assert xy.shape[1] == 2 and tracked.dtype == bool
