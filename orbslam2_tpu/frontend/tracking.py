@@ -209,6 +209,8 @@ class Tracker:
         pts_cam = np.asarray(self.cam.backproject(jnp_.asarray(xy), jnp_.asarray(depth)))
         new_pts = []
         for i in np.where(has_d)[0]:
+            if self.map.free_point_slots() == 0:
+                break
             pid = self.map.add_point(pts_cam[i], desc[i], kf, fr.frame_id)
             self.map.add_observation(kf, i, pid)
             fr.pt_ids[i] = pid
@@ -284,6 +286,8 @@ class Tracker:
         kf2 = self._insert_keyframe(fr)
         new_pts = []
         for i in np.where(good & sel)[0]:
+            if self.map.free_point_slots() == 0:
+                break
             pid = self.map.add_point(pts[i], np.asarray(ref.kp.desc)[i], kf1,
                                      int(ref.frame_id))
             self.map.add_observation(kf1, i, pid)
@@ -660,6 +664,8 @@ class Tracker:
             for j, i in enumerate(order):
                 if depth[i] > self.cfg.th_depth and j >= self.cfg.max_new_points_per_kf:
                     break
+                if self.map.free_point_slots() == 0:
+                    break  # capacity: culling frees slots later
                 pid = self.map.add_point(pts_w[j], desc[i], kf, fr.frame_id)
                 self.map.add_observation(kf, i, pid)
                 fr.pt_ids[i] = pid

@@ -98,6 +98,12 @@ class MapState:
     def n_points(self) -> int:
         return int(self.pt_valid.sum())
 
+    def free_point_slots(self) -> int:
+        return len(self._pt_free)
+
+    def free_keyframe_slots(self) -> int:
+        return len(self._kf_free)
+
     def keyframe_ids(self) -> np.ndarray:
         """Valid keyframe slots in insertion order."""
         ids = np.where(self.kf_valid)[0]
