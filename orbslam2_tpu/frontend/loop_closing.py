@@ -19,6 +19,7 @@ Stages mirror the reference:
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Dict, List, Optional, Set
 
 import jax
@@ -50,6 +51,11 @@ class LoopCloserConfig:
     min_total_matches: int = 40       # cc:464-474
     gba_max_obs: int = 65536
     run_global_ba: bool = True
+    # run the loop GBA in a background thread on a map snapshot, with
+    # spanning-tree propagation of corrections to keyframes/points created
+    # while it ran (RunGlobalBundleAdjustment, LoopClosing.cc:792-896).
+    # A newer loop supersedes an in-flight GBA (mnFullBAIdx, cc:796-806).
+    async_gba: bool = False
 
 
 class LoopCloser:
@@ -63,6 +69,12 @@ class LoopCloser:
         # consistency chaining state: list of (group set, chain length)
         self._consistent_groups: List[tuple[Set[int], int]] = []
         self.n_loops_closed = 0
+        # --- GBA abort-and-rerun state (mnFullBAIdx, LoopClosing.cc:796) --
+        self.map_lock: threading.RLock = threading.RLock()
+        self.full_ba_idx = 0
+        self.n_gba_applied = 0
+        self.n_gba_superseded = 0
+        self._gba_thread: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int, word_ids: np.ndarray) -> bool:
@@ -357,23 +369,53 @@ class LoopCloser:
                     jnp.asarray(new_sim3[i]))).astype(np.float32)
         m.change_index += 1
 
-        # global BA (cc:717 RunGlobalBundleAdjustment; inline PCG here)
+        # global BA (cc:717 RunGlobalBundleAdjustment): on a map snapshot,
+        # async when configured (the reference spawns a thread)
         if cfg.run_global_ba:
-            self._global_ba(fixed_kf=loop_kf)
+            self.request_global_ba(fixed_kf=loop_kf)
 
     # ------------------------------------------------------------------
-    def _global_ba(self, fixed_kf: int) -> None:
+    # Global BA with abort-and-rerun (RunGlobalBundleAdjustment,
+    # LoopClosing.cc:792-896). The BA runs on a functional snapshot of the
+    # map (cheap: the map IS arrays); a loop closure that lands while it
+    # runs bumps full_ba_idx, superseding the in-flight run — its results
+    # are discarded at apply time (the bounded-iteration device program is
+    # the abort analogue of the reference's pbStopFlag). On an up-to-date
+    # completion, corrections propagate through the spanning tree to
+    # keyframes and points created during the run (cc:824-884).
+    # ------------------------------------------------------------------
+    def request_global_ba(self, fixed_kf: int) -> None:
+        self.full_ba_idx += 1  # supersedes any in-flight GBA
+        snap = self._snapshot_gba(fixed_kf, self.full_ba_idx)
+        if snap is None:
+            return
+        if self.cfg.async_gba:
+            self.wait_gba()  # one in-flight run at a time
+            t = threading.Thread(target=self._run_gba, args=(snap,),
+                                 daemon=True, name="gba-worker")
+            self._gba_thread = t
+            t.start()
+        else:
+            self._run_gba(snap)
+
+    def wait_gba(self, timeout: float = 300.0) -> None:
+        t = self._gba_thread
+        if t is not None and t.is_alive():
+            t.join(timeout)
+
+    def _snapshot_gba(self, fixed_kf: int, idx: int):
+        """Build the BA problem from the current map state. Caller holds
+        the map lock (or is single-threaded)."""
         m = self.map
         cfg = self.cfg
         kmax = m.cap.max_keyframes
-        pmax = m.cap.max_points
         ks, slots = np.where(m.kf_pt >= 0)
         pids = m.kf_pt[ks, slots]
         keep = m.kf_valid[ks] & m.pt_valid[pids]
         ks, slots, pids = ks[keep], slots[keep], pids[keep]
         n_obs = min(len(ks), cfg.gba_max_obs)
         if n_obs < 100:
-            return
+            return None
         o_cam = np.zeros(cfg.gba_max_obs, np.int32)
         o_pt = np.zeros(cfg.gba_max_obs, np.int32)
         o_uv = np.zeros((cfg.gba_max_obs, 3), np.float32)
@@ -402,11 +444,64 @@ class LoopCloser:
             obs_cam=jnp.asarray(o_cam), obs_pt=jnp.asarray(o_pt),
             obs_uv=jnp.asarray(o_uv), obs_inv_sigma2=jnp.asarray(o_sig),
             obs_stereo=jnp.asarray(o_st), obs_valid=jnp.asarray(o_val))
-        res = ba.bundle_adjust_pcg(problem, self.cam, phase_iters=(5, 5),
-                                   point_fixed=jnp.asarray(pt_fixed))
+        return {
+            "idx": idx,
+            "fixed_kf": fixed_kf,
+            "problem": problem,
+            "pt_fixed": pt_fixed,
+            "kf_in": m.kf_valid.copy(),
+            "kf_order": m.kf_order.copy(),
+            "pt_in": m.pt_valid.copy(),
+            "pt_stamp": m.pt_stamp.copy(),
+        }
+
+    def _run_gba(self, snap) -> None:
+        res = ba.bundle_adjust_pcg(snap["problem"], self.cam, phase_iters=(5, 5),
+                                   point_fixed=jnp.asarray(snap["pt_fixed"]))
         new_poses = np.asarray(res.poses)
         new_points = np.asarray(res.points)
-        live = m.kf_valid & ~cam_fixed
-        m.kf_pose[live] = new_poses[live]
-        m.kf_pose[fixed_kf] = new_poses[fixed_kf]
-        m.pt_pos[m.pt_valid] = new_points[m.pt_valid]
+        with self.map_lock:
+            if snap["idx"] != self.full_ba_idx:
+                self.n_gba_superseded += 1  # a newer loop landed: discard
+                return
+            self._apply_gba(snap, new_poses, new_points)
+            self.n_gba_applied += 1
+            self.map.change_index += 1
+
+    def _apply_gba(self, snap, new_poses: np.ndarray, new_points: np.ndarray) -> None:
+        """Write GBA results into the (possibly grown) map. KFs/points the
+        snapshot covered take their optimized values; ones created during
+        the run are corrected through the spanning tree / reference-KF
+        chain (LoopClosing.cc:824-884)."""
+        m = self.map
+        # keyframes covered by the snapshot, still alive in the same slot
+        covered = snap["kf_in"] & m.kf_valid & (m.kf_order == snap["kf_order"])
+        old_pose = m.kf_pose.copy()   # poses at apply time
+        corrected = dict()            # kf -> new pose
+        for k in np.where(covered)[0]:
+            corrected[int(k)] = new_poses[k]
+        # new keyframes in insertion order: T_new = (T_old T_parent_old^-1) T_parent_new
+        fresh = m.kf_valid & ~covered
+        for k in np.argsort(m.kf_order):
+            if not fresh[k]:
+                continue
+            par = int(m.kf_parent[k])
+            if par < 0 or par not in corrected:
+                continue  # rootless: leave untouched
+            t_rel = old_pose[k] @ np.linalg.inv(old_pose[par])
+            corrected[int(k)] = (t_rel @ corrected[par]).astype(np.float32)
+        # points covered by the snapshot take the optimized positions
+        pt_cov = snap["pt_in"] & m.pt_valid & (m.pt_stamp == snap["pt_stamp"])
+        m.pt_pos[pt_cov] = new_points[pt_cov]
+        # points created during the run: remap via their reference KF
+        pt_fresh = m.pt_valid & ~pt_cov
+        for p in np.where(pt_fresh)[0]:
+            ref = int(m.pt_ref_kf[p])
+            if ref not in corrected:
+                continue
+            t_old, t_new = old_pose[ref], corrected[ref]
+            pc = m.pt_pos[p] @ t_old[:3, :3].T + t_old[:3, 3]
+            rwc = t_new[:3, :3].T
+            m.pt_pos[p] = (rwc @ (pc - t_new[:3, 3])).astype(np.float32)
+        for k, pose in corrected.items():
+            m.kf_pose[k] = pose

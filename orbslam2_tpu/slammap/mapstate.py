@@ -78,6 +78,10 @@ class MapState:
         self.pt_visible = np.zeros(p, np.int32)   # MapPoint::mnVisible
         self.pt_found = np.zeros(p, np.int32)     # MapPoint::mnFound
         self.pt_first_frame = np.full(p, -1, np.int64)
+        # monotonically increasing creation stamp (slot-reuse guard for
+        # async consumers of point snapshots, e.g. the background GBA)
+        self.pt_stamp = np.full(p, -1, np.int64)
+        self._pt_counter = 0
 
         self._kf_free: List[int] = list(range(k - 1, -1, -1))
         self._pt_free: List[int] = list(range(p - 1, -1, -1))
@@ -169,6 +173,8 @@ class MapState:
         self.pt_visible[p] = 1
         self.pt_found[p] = 1
         self.pt_first_frame[p] = frame_id
+        self.pt_stamp[p] = self._pt_counter
+        self._pt_counter += 1
         return p
 
     # ------------------------------------------------------------------
@@ -307,7 +313,7 @@ class MapState:
         "kf_kp_valid", "kf_kp_ur", "kf_kp_depth", "kf_pt", "kf_parent",
         "kf_order", "pt_valid", "pt_pos", "pt_desc", "pt_normal",
         "pt_min_dist", "pt_max_dist", "pt_ref_kf", "pt_first_kf",
-        "pt_visible", "pt_found", "pt_first_frame",
+        "pt_visible", "pt_found", "pt_first_frame", "pt_stamp",
     ]
 
     def save(self, path: str) -> None:
@@ -326,8 +332,10 @@ class MapState:
         cap = MapCapacity(*[int(v) for v in z["cap"]])
         m = cls(cap)
         for f in cls._SAVE_FIELDS:
-            getattr(m, f)[...] = z[f]
+            if f in z:  # tolerate maps saved before a field existed
+                getattr(m, f)[...] = z[f]
         m._kf_counter = int(z["kf_counter"][0])
+        m._pt_counter = int(m.pt_stamp.max()) + 1
         for k, e in z["loop_edges"]:
             m.kf_loop_edges[int(k)].add(int(e))
         m._kf_free = [k for k in range(cap.max_keyframes - 1, -1, -1)

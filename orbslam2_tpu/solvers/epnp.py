@@ -8,8 +8,10 @@ solved and scored in one vmapped pass, and the winner is refined on its
 inlier set — equal-or-better inlier statistics at a fraction of the
 wall-clock (SURVEY.md §7 hard-part f).
 
-Beta cases N=1 and N=2 are implemented (the reference also has N=3;
-cases 1-2 dominate in practice and the inlier refit recovers the rest).
+Beta cases N=1, N=2 and N=3 are implemented with Gauss-Newton refinement
+of the betas against the control-point distance constraints, mirroring
+find_betas_approx_{1,2,3} + gauss_newton (PnPsolver.cc:678-869), which
+lets RANSAC use the reference's 4-point minimal sets.
 """
 from __future__ import annotations
 
@@ -74,6 +76,71 @@ def _solve_epnp(pts: jax.Array, uv: jax.Array, w: jax.Array, cam: PinholeCamera)
     # pairwise world control distances
     ii, jj = jnp.triu_indices(4, 1)
     d_w = jnp.linalg.norm(ctrl_w[ii] - ctrl_w[jj], axis=-1)  # [6]
+    rho = d_w * d_w
+
+    # L_6x10 over the 4 smallest nullspace vectors (compute_L_6x10,
+    # PnPsolver.cc:780-821). Column order: the quadratic monomials
+    # (b1b1, b1b2, b2b2, b1b3, b2b3, b3b3, b1b4, b2b4, b3b4, b4b4).
+    dv = v[:, ii, :] - v[:, jj, :]  # [4, 6, 3]
+
+    def dd(a, b):
+        return jnp.sum(dv[a] * dv[b], axis=-1)
+
+    l10 = jnp.stack([
+        dd(0, 0), 2 * dd(0, 1), dd(1, 1), 2 * dd(0, 2), 2 * dd(1, 2),
+        dd(2, 2), 2 * dd(0, 3), 2 * dd(1, 3), 2 * dd(2, 3), dd(3, 3),
+    ], axis=-1)  # [6, 10]
+
+    def lstsq_cols(cols):
+        a = l10[:, jnp.asarray(cols)]
+        ata = a.T @ a + 1e-9 * jnp.eye(len(cols))
+        return jnp.linalg.solve(ata, a.T @ rho)
+
+    def sqrt_signed(x):
+        return jnp.sqrt(jnp.maximum(jnp.abs(x), 1e-12)) * jnp.sign(x + 1e-20)
+
+    # find_betas_approx_1 (N=4 start, PnPsolver.cc:678-704):
+    # solve for (b11, b12, b13, b14)
+    s1 = lstsq_cols((0, 1, 3, 6))
+    b1a = sqrt_signed(s1[0])
+    betas_a = jnp.stack([b1a, s1[1] / b1a, s1[2] / b1a, s1[3] / b1a])
+
+    # find_betas_approx_2 (N=2, cc:708-737): (b11, b12, b22)
+    s2 = lstsq_cols((0, 1, 2))
+    b1b = jnp.sqrt(jnp.maximum(jnp.abs(s2[0]), 1e-12)) * jnp.sign(s2[0] + 1e-20)
+    b2b = jnp.sqrt(jnp.maximum(jnp.abs(s2[2]), 1e-12)) * jnp.sign(s2[1]) * jnp.sign(s2[0] + 1e-20)
+    betas_b = jnp.stack([b1b, b2b, jnp.float32(0.0), jnp.float32(0.0)])
+
+    # find_betas_approx_3 (N=3, cc:741-776): (b11, b12, b22, b13, b23)
+    s3 = lstsq_cols((0, 1, 2, 3, 4))
+    b1c = sqrt_signed(s3[0])
+    b2c = jnp.sqrt(jnp.maximum(jnp.abs(s3[2]), 1e-12)) * jnp.sign(s3[1]) * jnp.sign(s3[0] + 1e-20)
+    betas_c = jnp.stack([b1c, b2c, s3[3] / b1c, jnp.float32(0.0)])
+
+    def b10_of(betas):
+        b1, b2, b3, b4 = betas[0], betas[1], betas[2], betas[3]
+        return jnp.stack([b1 * b1, b1 * b2, b2 * b2, b1 * b3, b2 * b3,
+                          b3 * b3, b1 * b4, b2 * b4, b3 * b4, b4 * b4])
+
+    def b10_jac(betas):
+        b1, b2, b3, b4 = betas[0], betas[1], betas[2], betas[3]
+        z = jnp.zeros_like(b1)
+        return jnp.array([
+            [2 * b1, z, z, z], [b2, b1, z, z], [z, 2 * b2, z, z],
+            [b3, z, b1, z], [z, b3, b2, z], [z, z, 2 * b3, z],
+            [b4, z, z, b1], [z, b4, z, b2], [z, z, b4, b3], [z, z, z, 2 * b4],
+        ])  # [10, 4]
+
+    def gauss_newton(betas):
+        """5 GN iterations on ||L @ b10(betas) - rho||^2 (PnPsolver.cc:823-869)."""
+        def step(b, _):
+            r = l10 @ b10_of(b) - rho          # [6]
+            j = l10 @ b10_jac(b)               # [6, 4]
+            jtj = j.T @ j + 1e-9 * jnp.eye(4)
+            b = b - jnp.linalg.solve(jtj, j.T @ r)
+            return b, ()
+        betas, _ = jax.lax.scan(step, betas, None, length=5)
+        return betas
 
     def rt_from_ctrl_cam(ctrl_c):
         # sign: control points must give positive depths
@@ -91,31 +158,23 @@ def _solve_epnp(pts: jax.Array, uv: jax.Array, w: jax.Array, cam: PinholeCamera)
         pen = jnp.where(z <= 0, 1e6, 0.0)
         return jnp.sum((e + pen) * w)
 
-    # case N=1: x = beta * v0
-    v0 = v[0]
-    d_c1 = jnp.linalg.norm(v0[ii] - v0[jj], axis=-1)
-    beta1 = jnp.sum(d_c1 * d_w) / jnp.maximum(jnp.sum(d_c1 * d_c1), 1e-12)
-    tcw1 = rt_from_ctrl_cam(beta1 * v0)
+    # plain N=1 closed form (no GN): scale v0 to match the control-point
+    # distances. GN occasionally diverges on minimal 4-point sets; this
+    # candidate is immune and wins whenever v0 is the true nullvector.
+    d_c1 = jnp.sqrt(jnp.maximum(l10[:, 0], 0.0))
+    beta1 = jnp.sum(d_c1 * d_w) / jnp.maximum(jnp.sum(l10[:, 0]), 1e-12)
+    betas_d = jnp.stack([beta1, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0)])
 
-    # case N=2: x = b1 v0 + b2 v1; solve L [b11, b12, b22] = d_w^2
-    v1 = v[1]
-    dv0 = v0[ii] - v0[jj]
-    dv1 = v1[ii] - v1[jj]
-    l_mat = jnp.stack([
-        jnp.sum(dv0 * dv0, axis=-1),
-        2.0 * jnp.sum(dv0 * dv1, axis=-1),
-        jnp.sum(dv1 * dv1, axis=-1),
-    ], axis=-1)  # [6, 3]
-    rho = d_w * d_w
-    sol = jnp.linalg.lstsq(l_mat, rho)[0]
-    b11, b12, b22 = sol[0], sol[1], sol[2]
-    b1 = jnp.sqrt(jnp.maximum(jnp.abs(b11), 1e-12))
-    b1 = b1 * jnp.sign(b11 + 1e-20)
-    b2 = jnp.sqrt(jnp.maximum(jnp.abs(b22), 1e-12)) * jnp.sign(b12) * jnp.sign(b11 + 1e-20)
-    tcw2 = rt_from_ctrl_cam(b1 * v0 + b2 * v1)
+    def case(betas, refine):
+        b = jnp.where(refine, gauss_newton(betas), betas)
+        ctrl_c = jnp.einsum("i,ikd->kd", b, v)
+        tcw = rt_from_ctrl_cam(ctrl_c)
+        return tcw, reproj_cost(tcw)
 
-    c1, c2 = reproj_cost(tcw1), reproj_cost(tcw2)
-    return jnp.where(c1 <= c2, tcw1, tcw2)
+    tcws, costs = jax.vmap(case)(
+        jnp.stack([betas_a, betas_b, betas_c, betas_d]),
+        jnp.array([True, True, True, False]))
+    return tcws[jnp.argmin(costs)]
 
 
 class PnPResult(NamedTuple):
@@ -136,15 +195,14 @@ def epnp_ransac(
     iters: int = 300,
     min_inliers: int = 10,
 ) -> PnPResult:
-    """RANSAC over 6-point EPnP hypotheses; chi2 gate 5.991 * sigma2
-    (PnPsolver ctor params from Tracking.cc:1695; the reference samples 4,
-    but with only the N<=2 beta cases a 4-point M has a 4-dim nullspace —
-    6 points collapse it and keep (0.7)^6 ~ 12% all-inlier probability per
-    draw, ample at 300 draws)."""
+    """RANSAC over 4-point EPnP hypotheses (reference minimal set,
+    PnPsolver.cc:129 mRansacMinSet=4); chi2 gate 5.991 * sigma2
+    (ctor params from Tracking.cc:1695). The N=1..3 beta cases plus
+    Gauss-Newton handle the 4-dim nullspace of a 4-point M matrix."""
     n = pts.shape[0]
     probs = valid.astype(jnp.float32) / jnp.maximum(jnp.sum(valid), 1)
     keys = jax.random.split(key, iters)
-    sets = jax.vmap(lambda k_: jax.random.choice(k_, n, (6,), replace=False, p=probs))(keys)
+    sets = jax.vmap(lambda k_: jax.random.choice(k_, n, (4,), replace=False, p=probs))(keys)
 
     def count_inliers(tcw):
         pc = se3.apply(tcw, pts)

@@ -55,9 +55,13 @@ class SLAMSystem:
                 self.map, config.cam, self.kfdb,
                 LoopCloserConfig(scale_factor=config.orb.scale_factor,
                                  n_levels=config.orb.n_levels,
-                                 fix_scale=(sensor != Sensor.MONOCULAR)))
+                                 fix_scale=(sensor != Sensor.MONOCULAR),
+                                 async_gba=config.async_mapping))
             self.local_mapper.kfdb = self.kfdb
         self.tracker = Tracker(config, self.map, self.local_mapper)
+        if self.loop_closer is not None:
+            # one map lock shared by tracking, mapping, and the GBA thread
+            self.loop_closer.map_lock = self.tracker.map_lock
         self.tracker.vocabulary = vocabulary
         self.tracker.kfdb = self.kfdb
         self.tracker.loop_closer = self.loop_closer
@@ -102,19 +106,25 @@ class SLAMSystem:
             self.tracker.reset()
 
     def shutdown(self) -> None:
-        """System::Shutdown (System.cc:329): drain and join the worker."""
+        """System::Shutdown (System.cc:329): drain and join the workers
+        (incl. a running global BA, System.cc:337-344)."""
         if self.mapping_worker is not None:
             self.mapping_worker.wait_idle()
             self.mapping_worker.stop()
             self.mapping_worker = None
             self.tracker.mapping_worker = None
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba()
 
     def wait_mapping_idle(self, timeout: float = 60.0) -> bool:
         """Block until background mapping has drained (useful before
         trajectory export or map save in async mode)."""
+        ok = True
         if self.mapping_worker is not None:
-            return self.mapping_worker.wait_idle(timeout)
-        return True
+            ok = self.mapping_worker.wait_idle(timeout)
+        if self.loop_closer is not None:
+            self.loop_closer.wait_gba(timeout)
+        return ok
 
     # ------------------------------------------------------------------
     def tracking_state(self) -> TrackingState:
@@ -146,7 +156,12 @@ class SLAMSystem:
             gba.cfg = LoopCloserConfig(
                 scale_factor=self.cfg.orb.scale_factor,
                 n_levels=self.cfg.orb.n_levels)
-            gba._global_ba(fixed_kf=int(ids[0]))
+            gba.map_lock = self.tracker.map_lock
+            gba.full_ba_idx = 0
+            gba.n_gba_applied = 0
+            gba.n_gba_superseded = 0
+            gba._gba_thread = None
+            gba.request_global_ba(fixed_kf=int(ids[0]))
             self.map.change_index += 1
 
     def change_calibration(self, cam) -> None:

@@ -1,4 +1,5 @@
 """End-to-end loop closing and relocalization with place recognition."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -69,3 +70,116 @@ class TestRelocalization:
         # recovered pose close to ground truth of frame 5
         err = np.linalg.norm(tcw[:3, 3] - seq.poses[5][:3, 3])
         assert err < 0.1, f"reloc pose error {err:.3f}"
+
+
+class TestGBAProtocol:
+    """Abort-and-rerun global BA on a map snapshot with spanning-tree
+    propagation (RunGlobalBundleAdjustment, LoopClosing.cc:792-896)."""
+
+    def _bare_closer(self, m):
+        import threading
+        from orbslam2_tpu.frontend.loop_closing import LoopCloser, LoopCloserConfig
+        lc = LoopCloser.__new__(LoopCloser)
+        lc.map = m
+        lc.cam = CAM
+        lc.cfg = LoopCloserConfig()
+        lc.map_lock = threading.RLock()
+        lc.full_ba_idx = 0
+        lc.n_gba_applied = 0
+        lc.n_gba_superseded = 0
+        lc._gba_thread = None
+        return lc
+
+    def _make_map(self):
+        from tests.test_mapstate import make_map
+        m, kfs, pts = make_map(n_kf=4, n_pts=30)
+        rng = np.random.default_rng(1)
+        for i, k in enumerate(kfs):
+            m.kf_pose[k, :3, 3] = [0.1 * i, 0, 0]
+            m.kf_parent[k] = kfs[i - 1] if i else -1
+        for j, p in enumerate(pts):
+            m.kf_pt[kfs[j % 4], j] = p
+            m.pt_pos[p] = rng.normal(size=3)
+        return m, kfs, pts
+
+    def test_propagation_to_fresh_kfs_and_points(self):
+        m, kfs, pts = self._make_map()
+        lc = self._bare_closer(m)
+        snap = {
+            "idx": 1, "fixed_kf": kfs[0], "problem": None, "pt_fixed": None,
+            "kf_in": m.kf_valid.copy(), "kf_order": m.kf_order.copy(),
+            "pt_in": m.pt_valid.copy(), "pt_stamp": m.pt_stamp.copy(),
+        }
+        # grow the map AFTER the snapshot: one child KF of kfs[-1], one point
+        n_feat = m.cap.n_features
+        rng = np.random.default_rng(2)
+        new_kf = m.add_keyframe(
+            pose=np.eye(4, dtype=np.float32), timestamp=9.0, frame_id=9,
+            kp_xy=rng.uniform(0, 300, (n_feat, 2)).astype(np.float32),
+            kp_octave=np.zeros(n_feat, np.int32),
+            kp_angle=np.zeros(n_feat, np.float32),
+            kp_response=np.ones(n_feat, np.float32),
+            kp_desc=rng.integers(0, 2**32, (n_feat, 8), dtype=np.uint32),
+            kp_valid=np.ones(n_feat, bool),
+            kp_ur=np.full(n_feat, -1, np.float32),
+            kp_depth=np.full(n_feat, -1, np.float32))
+        m.kf_parent[new_kf] = kfs[-1]
+        m.kf_pose[new_kf, :3, 3] = [0.4, 0, 0]
+        new_pt = m.add_point(np.array([1.0, 2.0, 3.0], np.float32),
+                             rng.integers(0, 2**32, 8, dtype=np.uint32),
+                             kfs[-1], 9)
+        # fake GBA output: shift every snapshot pose by +1 in y
+        shift = np.eye(4, dtype=np.float32)
+        shift[1, 3] = 1.0
+        new_poses = m.kf_pose.copy()
+        for k in kfs:
+            new_poses[k] = shift @ m.kf_pose[k]
+        moved = m.pt_pos.copy() + np.array([0, 0, 0.5], np.float32)
+        pt_pos_before = m.pt_pos[new_pt].copy()
+        lc._apply_gba(snap, new_poses, moved)
+        # snapshot KFs took the GBA poses
+        for k in kfs:
+            np.testing.assert_allclose(m.kf_pose[k], new_poses[k], atol=1e-5)
+        # fresh KF got the parent-chain correction: T_rel unchanged
+        t_rel = m.kf_pose[new_kf] @ np.linalg.inv(m.kf_pose[kfs[-1]])
+        expect_rel = np.eye(4, dtype=np.float32)
+        expect_rel[:3, 3] = [0.4 - 0.3, 0, 0]
+        np.testing.assert_allclose(t_rel, expect_rel, atol=1e-5)
+        # snapshot points took optimized positions
+        np.testing.assert_allclose(m.pt_pos[pts[0]], moved[pts[0]], atol=1e-5)
+        # fresh point moved consistently with its ref KF (camera coords kept)
+        t_old = np.eye(4, dtype=np.float32)
+        t_old[:3, 3] = [0.3, 0, 0]
+        pc = t_old[:3, :3] @ pt_pos_before + t_old[:3, 3]
+        t_new = new_poses[kfs[-1]]
+        expect = t_new[:3, :3].T @ (pc - t_new[:3, 3])
+        np.testing.assert_allclose(m.pt_pos[new_pt], expect, atol=1e-5)
+
+    def test_superseded_run_is_discarded(self):
+        m, kfs, pts = self._make_map()
+        lc = self._bare_closer(m)
+        lc.full_ba_idx = 1
+        snap = {
+            "idx": 1, "fixed_kf": kfs[0], "problem": None, "pt_fixed": None,
+            "kf_in": m.kf_valid.copy(), "kf_order": m.kf_order.copy(),
+            "pt_in": m.pt_valid.copy(), "pt_stamp": m.pt_stamp.copy(),
+        }
+        lc.full_ba_idx = 2  # a newer loop landed while "running"
+        poses_before = m.kf_pose.copy()
+
+        class FakeRes:
+            poses = jnp.asarray(m.kf_pose + 7.0)
+            points = jnp.asarray(m.pt_pos + 7.0)
+
+        import orbslam2_tpu.backend.ba as _ba
+        orig = _ba.bundle_adjust_pcg
+        _ba.bundle_adjust_pcg = lambda *a, **k: FakeRes()
+        try:
+            snap["problem"] = None
+            snap["pt_fixed"] = np.zeros(m.cap.max_points, bool)
+            lc._run_gba(snap)
+        finally:
+            _ba.bundle_adjust_pcg = orig
+        assert lc.n_gba_superseded == 1
+        assert lc.n_gba_applied == 0
+        np.testing.assert_allclose(m.kf_pose, poses_before)

@@ -163,6 +163,23 @@ class TestEPnP:
             se3.compose(res.tcw, se3.inverse(jnp.asarray(tcw_true))))))
         assert err < 0.01, err
 
+    def test_minimal_4pt_solve(self, rng):
+        """The reference samples 4-point minimal sets (PnPsolver.cc:129)
+        solved via the N=1..3 beta cases + Gauss-Newton. On a 4-point set
+        the M-matrix nullspace is 4-dimensional and the true solution can
+        mix all four basis vectors, so (as with the reference's EPnP) only
+        a fraction of minimal draws solve tightly — RANSAC consensus
+        absorbs the rest. Assert that fraction stays healthy."""
+        errs = []
+        for seed in range(12):
+            r = np.random.default_rng(seed)
+            pts, uv, tcw_true, _ = self.make_problem(r, n=4, noise=0.0)
+            w = jnp.ones(4, jnp.float32)
+            tcw = epnp._solve_epnp(jnp.asarray(pts), jnp.asarray(uv), w, CAM)
+            errs.append(float(np.linalg.norm(np.asarray(se3.log(
+                se3.compose(tcw, se3.inverse(jnp.asarray(tcw_true))))))))
+        assert sum(e < 0.01 for e in errs) >= 4, errs
+
     def test_outliers(self, rng):
         pts, uv, tcw_true, n_out = self.make_problem(rng, noise=0.5, outlier_frac=0.3)
         res = epnp.epnp_ransac(
