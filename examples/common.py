@@ -33,8 +33,18 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def make_system(args, sensor: Sensor, image_size=None) -> SLAMSystem:
+def make_system(args, sensor: Sensor, image_size=None,
+                capacity_hint=None) -> SLAMSystem:
+    """capacity_hint: (max_keyframes, max_points) dataset-scale default,
+    applied only when the settings YAML doesn't set Map.MaxKeyFrames /
+    Map.MaxPoints (long outdoor sequences need far more than the indoor
+    defaults; KITTI 00 peaks ~1400 KFs / 150k points)."""
     cfg = load_settings(args.settings, image_size=image_size)
+    if capacity_hint is not None:
+        if cfg.max_keyframes == 256:
+            cfg.max_keyframes = capacity_hint[0]
+        if cfg.max_points == 16384:
+            cfg.max_points = capacity_hint[1]
     voc = None
     if not args.no_loop_closing:
         if args.vocabulary:

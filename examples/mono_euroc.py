@@ -12,7 +12,7 @@ def main():
     p.add_argument("data_dir")
     p.add_argument("timestamps")
     args = p.parse_args()
-    system = make_system(args, Sensor.MONOCULAR)
+    system = make_system(args, Sensor.MONOCULAR, capacity_hint=(1024, 100_000))
     run_loop(system, euroc_mono_frames(args.data_dir, args.timestamps),
              lambda s, it: s.track_monocular(it.gray, it.timestamp),
              args.max_frames)

@@ -11,7 +11,7 @@ def main():
     p = build_parser("Monocular SLAM on a KITTI odometry sequence")
     p.add_argument("sequence_dir")
     args = p.parse_args()
-    system = make_system(args, Sensor.MONOCULAR)
+    system = make_system(args, Sensor.MONOCULAR, capacity_hint=(2048, 200_000))
     run_loop(system, kitti_mono_frames(args.sequence_dir),
              lambda s, it: s.track_monocular(it.gray, it.timestamp),
              args.max_frames)

@@ -13,7 +13,7 @@ def main():
     p.add_argument("data_dir", help=".../mav0 directory")
     p.add_argument("timestamps", help="EuRoC timestamps txt")
     args = p.parse_args()
-    system = make_system(args, Sensor.STEREO)
+    system = make_system(args, Sensor.STEREO, capacity_hint=(1024, 100_000))
     rectifier = EurocRectifier(args.settings)
     run_loop(system, euroc_stereo_frames(args.data_dir, args.timestamps, rectifier),
              lambda s, it: s.track_stereo(it.left, it.right, it.timestamp),

@@ -11,7 +11,7 @@ def main():
     p = build_parser("Stereo SLAM on a KITTI odometry sequence")
     p.add_argument("sequence_dir")
     args = p.parse_args()
-    system = make_system(args, Sensor.STEREO)
+    system = make_system(args, Sensor.STEREO, capacity_hint=(2048, 200_000))
     run_loop(system, kitti_stereo_frames(args.sequence_dir),
              lambda s, it: s.track_stereo(it.left, it.right, it.timestamp),
              args.max_frames)

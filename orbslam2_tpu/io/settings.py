@@ -69,6 +69,12 @@ def load_settings(path: str, image_size: Tuple[int, int] | None = None,
         cfg = SLAMConfig(
             cam=cam, orb=orb, th_depth=th_depth,
             max_frames_between_kf=int(fps),
+            # map capacities: framework extension keys (the reference's
+            # pointer map grows unbounded; fixed-capacity arrays need a
+            # budget — KITTI 00 peaks around 1400 KFs / 150k points).
+            # 0/absent = SLAMConfig defaults (drivers may raise them).
+            max_keyframes=int(_read(fs, "Map.MaxKeyFrames", 0)) or 256,
+            max_points=int(_read(fs, "Map.MaxPoints", 0)) or 16384,
         )
         depth_map_factor = _read(fs, "DepthMapFactor", 1.0) or 1.0
         cfg.depth_map_factor = depth_map_factor  # used by the RGB-D driver

@@ -78,10 +78,12 @@ def local_keyframes(m, frame_pt_ids: np.ndarray, w: np.ndarray) -> Tuple[np.ndar
     pts = frame_pt_ids[frame_pt_ids >= 0]
     if len(pts) == 0:
         return np.array([], np.int64), -1
-    k = m.cap.max_keyframes
-    share = np.zeros(k, np.int64)
-    sees = m.kf_pt[:, :, None] == pts[None, None, :]  # [K, N, n_pts]
-    share = sees.any(axis=2).sum(axis=1)
+    # O(K*N) membership lookup (a [K, N, n_pts] comparison tensor costs
+    # seconds at KITTI scale: 1500 KFs x 150k points)
+    in_frame = np.zeros(m.cap.max_points, bool)
+    in_frame[pts] = True
+    kf_pt = m.kf_pt
+    share = (in_frame[np.maximum(kf_pt, 0)] & (kf_pt >= 0)).sum(axis=1)
     share[~m.kf_valid] = 0
     seeds = np.where(share > 0)[0]
     if len(seeds) == 0:

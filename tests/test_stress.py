@@ -39,3 +39,61 @@ class TestCapacityStress:
         assert err < 0.25, f"stress ATE {err:.3f}"
         # slot recycling actually happened
         assert system.map._kf_counter > cfg.max_keyframes
+
+
+class TestKittiScaleMap:
+    """KITTI-00-sized map (ROADMAP item 4): ~1400 keyframes / 150k points.
+    The per-keyframe host bookkeeping (covisibility, observation counts,
+    local-map selection) must stay interactive at this scale — these are
+    the ops the tracker and mapper run between device calls."""
+
+    def test_host_ops_at_scale(self):
+        import time
+        from orbslam2_tpu.slammap import covisibility
+        from orbslam2_tpu.slammap.mapstate import MapCapacity, MapState
+
+        rng = np.random.default_rng(0)
+        n_feat = 512   # observation slots per KF (full geometry uses 2255)
+        m = MapState(MapCapacity(max_keyframes=1536, max_points=150_000,
+                                 n_features=n_feat))
+        n_kf, n_pt = 1400, 150_000
+        # bulk-fill the SoA arrays (add_keyframe per-KF copies are not the
+        # point here; observation structure is)
+        m.kf_valid[:n_kf] = True
+        m.kf_order[:n_kf] = np.arange(n_kf)
+        m._kf_counter = n_kf
+        m.pt_valid[:n_pt] = True
+        m.pt_stamp[:n_pt] = np.arange(n_pt)
+        m._pt_counter = n_pt
+        m.pt_pos[:n_pt] = rng.normal(size=(n_pt, 3))
+        # each KF observes a contiguous-ish window of points, as in a real
+        # trajectory (covisibility = window overlap)
+        for k in range(n_kf):
+            base = int(k / n_kf * (n_pt - 1200))
+            m.kf_pt[k, :400] = base + rng.choice(1200, 400, replace=False)
+            m.kf_kp_valid[k, :400] = True
+        m.pt_ref_kf[:n_pt] = rng.integers(0, n_kf, n_pt)
+
+        t0 = time.perf_counter()
+        w = covisibility.weight_matrix(m)
+        t_w = time.perf_counter() - t0
+        assert w.shape == (1536, 1536)
+        assert w[0, 1] > 0 and w[0, n_kf - 1] == 0
+        t0 = time.perf_counter()
+        counts = m.point_obs_count()
+        t_c = time.perf_counter() - t0
+        assert counts.sum() == n_kf * 400
+        # local-map selection for a frame seeing KF-700's points
+        fr_pt = np.full(n_feat, -1, np.int64)
+        fr_pt[:300] = m.kf_pt[700, :300]
+        t0 = time.perf_counter()
+        local, ref = covisibility.local_keyframes(m, fr_pt, w)
+        t_l = time.perf_counter() - t0
+        assert ref >= 0 and len(local) > 0
+        # loose interactivity budgets (2 vCPU CI box; production hosts are
+        # far faster and the native engine scales linearly)
+        assert t_w < 5.0, f"weight_matrix {t_w:.2f}s"
+        assert t_c < 1.0, f"point_obs_count {t_c:.2f}s"
+        assert t_l < 0.5, f"local_keyframes {t_l:.2f}s"
+        print(f"\nKITTI-scale: weight_matrix {t_w*1e3:.0f} ms, "
+              f"obs_count {t_c*1e3:.0f} ms, local_kfs {t_l*1e3:.0f} ms")
