@@ -30,6 +30,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--kf-trajectory-out", default="KeyFrameTrajectory.txt")
     p.add_argument("--kitti-trajectory-out", default=None)
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--profile-stages", action="store_true",
+                   help="print per-stage timing statistics at the end")
+    p.add_argument("--device-trace", default=None,
+                   help="directory for a jax.profiler device trace")
     return p
 
 
@@ -54,26 +58,34 @@ def make_system(args, sensor: Sensor, image_size=None,
             from orbslam2_tpu.place.pretrained import get_default_vocabulary
             voc = get_default_vocabulary()
     system = SLAMSystem(cfg, sensor, vocabulary=voc)
+    if getattr(args, "profile_stages", False):
+        system.tracker.stats.enabled = True
     if args.localization:
         system.activate_localization_mode()
     return system
 
 
 def run_loop(system: SLAMSystem, frames: Iterable, track: Callable,
-             max_frames=None) -> None:
+             max_frames=None, trace_dir=None) -> None:
+    import contextlib
+    from orbslam2_tpu.utils.profiling import device_trace
+    ctx = device_trace(trace_dir) if trace_dir else contextlib.nullcontext()
     times = []
     n = 0
-    for item in frames:
-        t0 = time.perf_counter()
-        track(system, item)
-        times.append(time.perf_counter() - t0)
-        n += 1
-        if max_frames is not None and n >= max_frames:
-            break
+    with ctx:
+        for item in frames:
+            t0 = time.perf_counter()
+            track(system, item)
+            times.append(time.perf_counter() - t0)
+            n += 1
+            if max_frames is not None and n >= max_frames:
+                break
     if times:
         times = np.array(times)
         print(f"tracked {n} frames: median {np.median(times)*1e3:.1f} ms, "
               f"mean {times.mean()*1e3:.1f} ms")
+    if system.tracker.stats.enabled:
+        print(system.tracker.stats.report())
 
 
 def save_outputs(system: SLAMSystem, args) -> None:

@@ -15,7 +15,7 @@ def main():
     system = make_system(args, Sensor.MONOCULAR, capacity_hint=(1024, 100_000))
     run_loop(system, euroc_mono_frames(args.data_dir, args.timestamps),
              lambda s, it: s.track_monocular(it.gray, it.timestamp),
-             args.max_frames)
+             args.max_frames, trace_dir=args.device_trace)
     save_outputs(system, args)
 
 

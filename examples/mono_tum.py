@@ -17,7 +17,7 @@ def main():
                              getattr(system.cfg, "depth_map_factor", 5000.0))
     run_loop(system, frames,
              lambda s, it: s.track_monocular(it.gray, it.timestamp),
-             args.max_frames)
+             args.max_frames, trace_dir=args.device_trace)
     save_outputs(system, args)
 
 

@@ -17,7 +17,7 @@ def main():
     frames = tum_rgbd_frames(args.dataset_dir, args.associations, factor)
     run_loop(system, frames,
              lambda s, it: s.track_rgbd(it.gray, it.depth, it.timestamp),
-             args.max_frames)
+             args.max_frames, trace_dir=args.device_trace)
     save_outputs(system, args)
 
 

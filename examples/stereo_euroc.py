@@ -17,7 +17,7 @@ def main():
     rectifier = EurocRectifier(args.settings)
     run_loop(system, euroc_stereo_frames(args.data_dir, args.timestamps, rectifier),
              lambda s, it: s.track_stereo(it.left, it.right, it.timestamp),
-             args.max_frames)
+             args.max_frames, trace_dir=args.device_trace)
     save_outputs(system, args)
 
 

@@ -14,7 +14,7 @@ def main():
     system = make_system(args, Sensor.STEREO, capacity_hint=(2048, 200_000))
     run_loop(system, kitti_stereo_frames(args.sequence_dir),
              lambda s, it: s.track_stereo(it.left, it.right, it.timestamp),
-             args.max_frames)
+             args.max_frames, trace_dir=args.device_trace)
     save_outputs(system, args)
 
 

@@ -56,6 +56,8 @@ class SLAMConfig:
     # testing/benchmark hook: unconditionally insert a keyframe every N
     # frames (None = reference keyframe-decision logic only)
     force_kf_every: Optional[int] = None
+    # collect per-stage wall-clock stats in tracker.stats (utils/profiling)
+    profile_stages: bool = False
 
 
 @dataclasses.dataclass
@@ -100,30 +102,35 @@ class Tracker:
         import threading
         self.map_lock = threading.RLock()
         self.mapping_worker = None
+        from orbslam2_tpu.utils.profiling import StageTimer
+        self.stats = StageTimer(enabled=config.profile_stages)
 
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
-        fr = frame_mod.build_frame_rgbd(
-            self.frame_counter, timestamp, gray, depth, self.extractor, self.cam,
-            extract_fn=self._extract_jit)
+        with self.stats.stage("frame_build"):
+            fr = frame_mod.build_frame_rgbd(
+                self.frame_counter, timestamp, gray, depth, self.extractor, self.cam,
+                extract_fn=self._extract_jit)
         self.frame_counter += 1
         return self._track(fr)
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> Optional[np.ndarray]:
-        fr = frame_mod.build_frame_stereo(
-            self.frame_counter, timestamp, left, right, self.extractor, self.cam,
-            extract_fn=self._extract_jit, scale_factor=self.cfg.orb.scale_factor)
+        with self.stats.stage("frame_build"):
+            fr = frame_mod.build_frame_stereo(
+                self.frame_counter, timestamp, left, right, self.extractor, self.cam,
+                extract_fn=self._extract_jit, scale_factor=self.cfg.orb.scale_factor)
         self.frame_counter += 1
         return self._track(fr)
 
     def track_mono(self, gray: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
         self.is_mono = True
-        fr = frame_mod.build_frame_mono(
-            self.frame_counter, timestamp, gray, self.extractor, self.cam,
-            extract_fn=self._extract_jit)
+        with self.stats.stage("frame_build"):
+            fr = frame_mod.build_frame_mono(
+                self.frame_counter, timestamp, gray, self.extractor, self.cam,
+                extract_fn=self._extract_jit)
         self.frame_counter += 1
         return self._track(fr)
 
@@ -152,15 +159,18 @@ class Tracker:
         ok = False
         if self.state == TrackingState.OK:
             self._update_last_frame()
-            if self.velocity is not None:
-                ok = self._track_with_motion_model(fr)
-            if not ok:
-                ok = self._track_reference_keyframe(fr)
+            with self.stats.stage("initial_track"):
+                if self.velocity is not None:
+                    ok = self._track_with_motion_model(fr)
+                if not ok:
+                    ok = self._track_reference_keyframe(fr)
         else:
-            ok = self._relocalize(fr)
+            with self.stats.stage("relocalize"):
+                ok = self._relocalize(fr)
 
         if ok and not self.cfg.localization_only:
-            ok = self._track_local_map(fr)
+            with self.stats.stage("local_map"):
+                ok = self._track_local_map(fr)
         elif ok:
             # localization mode: away from the map, visual odometry on
             # temporal points keeps the pose alive (the reference's mbVO
@@ -174,7 +184,8 @@ class Tracker:
             if self.last_frame is not None:
                 self.velocity = fr.tcw @ np.linalg.inv(self.last_frame.tcw)
             if not self.cfg.localization_only and self._need_new_keyframe(fr):
-                self._create_new_keyframe(fr)
+                with self.stats.stage("new_keyframe"):
+                    self._create_new_keyframe(fr)
         else:
             self.state = TrackingState.LOST
             self.velocity = None

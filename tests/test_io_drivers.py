@@ -171,3 +171,31 @@ class TestSystemAPI:
                                    atol=1e-6)
         xy, tracked = s.get_tracked_keypoints()
         assert xy.shape[1] == 2 and tracked.dtype == bool
+
+
+def test_stage_profiling_collects_and_reports():
+    """utils/profiling.StageTimer wired through the tracker (SURVEY §5
+    tracing/profiling gap): stages accumulate and the report renders."""
+    from orbslam2_tpu.frontend.tracking import SLAMConfig
+    from orbslam2_tpu.geometry.camera import PinholeCamera
+    from orbslam2_tpu.io.synthetic import SyntheticSequence
+    from orbslam2_tpu.ops.orb import ORBConfig
+    from orbslam2_tpu.system import SLAMSystem, Sensor
+
+    cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                        width=320, height=240, bf=26.0)
+    cfg = SLAMConfig(cam=cam, orb=ORBConfig(n_features=600, n_levels=3),
+                     th_depth=4.0, min_init_features=200, profile_stages=True)
+    system = SLAMSystem(cfg, Sensor.RGBD)
+    seq = SyntheticSequence(cam, n_frames=6, trajectory="lateral", seed=3)
+    for i in range(seq.n_frames):
+        gray, depth = seq.render(i)
+        system.track_rgbd(gray, depth, i / seq.fps)
+    s = system.tracker.stats.summary()
+    assert s["frame_build"]["n"] == 6
+    assert s["local_map"]["n"] >= 4
+    assert s["initial_track"]["n"] >= 4
+    rep = system.tracker.stats.report()
+    assert "frame_build" in rep and "median" in rep
+    system.tracker.stats.reset()
+    assert system.tracker.stats.summary() == {}
