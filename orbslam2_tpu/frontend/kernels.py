@@ -98,6 +98,39 @@ def search_local_points(
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "max_hamming"))
+def search_local_points_gathered(
+    tcw: jax.Array,
+    ids: jax.Array,          # [C] int32 rows into the full device map
+    sel_valid: jax.Array,    # [C] bool candidate mask (local selection)
+    pt_pos_all: jax.Array,   # [P, 3] full device-resident map arrays
+    pt_desc_all: jax.Array,
+    pt_valid_all: jax.Array,
+    pt_normal_all: jax.Array,
+    pt_min_all: jax.Array,
+    pt_max_all: jax.Array,
+    kp: Keypoints,
+    kp_taken: jax.Array,
+    radius_mult: float,
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    max_hamming: int = hamming.TH_HIGH,
+):
+    """search_local_points reading straight from the device-resident map
+    mirror (slammap/device_map): the host ships only the local-point id
+    list instead of ~250 KB of gathered rows per frame."""
+    pos = pt_pos_all[ids]
+    desc = pt_desc_all[ids]
+    valid = pt_valid_all[ids] & sel_valid
+    normal = pt_normal_all[ids]
+    dmin = pt_min_all[ids]
+    dmax = pt_max_all[ids]
+    return search_local_points(tcw, pos, desc, valid, normal, dmin, dmax,
+                               kp, kp_taken, radius_mult, cam,
+                               scale_factor, n_levels, max_hamming)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels", "max_hamming"))
 def search_by_projection_last(
     tcw_pred: jax.Array,
     last_pt_pos: jax.Array,    # [N, 3] world pos of last frame's points

@@ -357,6 +357,7 @@ class LocalMapper:
             if not cam_fixed[i]:
                 m.kf_pose[c] = new_poses[i]
         m.pt_pos[pts] = new_points[: len(pts)]
+        m.mark_pts_dirty(pts)
         # erase outlier observations (Optimizer.cc:792-839)
         inlier = np.asarray(res.inlier)
         for o in np.where(~inlier[:n_obs])[0]:

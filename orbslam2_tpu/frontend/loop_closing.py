@@ -288,6 +288,7 @@ class LoopCloser:
             p_cam = p @ s_old[:3, :3].T + s_old[:3, 3]
             p_new = p_cam @ s_corr_inv[:3, :3].T + s_corr_inv[:3, 3]
             m.pt_pos[pids] = p_new.astype(np.float32)
+            m.mark_pts_dirty(pids)
             done_pts.update(int(x) for x in pids)
             # corrected SE3 pose
             m.kf_pose[k_i] = np.asarray(sim3.to_se3(
@@ -363,6 +364,7 @@ class LoopCloser:
             s_new_inv = np.asarray(sim3.inverse(jnp.asarray(new_sim3[ref])))
             pc = m.pt_pos[p] @ s_old[:3, :3].T + s_old[:3, 3]
             m.pt_pos[p] = (pc @ s_new_inv[:3, :3].T + s_new_inv[:3, 3]).astype(np.float32)
+        m.mark_all_pts_dirty()
         for i in range(kmax):
             if m.kf_valid[i]:
                 m.kf_pose[i] = np.asarray(sim3.to_se3(
@@ -503,5 +505,6 @@ class LoopCloser:
             pc = m.pt_pos[p] @ t_old[:3, :3].T + t_old[:3, 3]
             rwc = t_new[:3, :3].T
             m.pt_pos[p] = (rwc @ (pc - t_new[:3, 3])).astype(np.float32)
+        m.mark_all_pts_dirty()
         for k, pose in corrected.items():
             m.kf_pose[k] = pose

@@ -58,6 +58,9 @@ class SLAMConfig:
     force_kf_every: Optional[int] = None
     # collect per-stage wall-clock stats in tracker.stats (utils/profiling)
     profile_stages: bool = False
+    # keep the point arrays device-resident (slammap/device_map) and gather
+    # local-map rows on device; False = re-stage gathered rows per frame
+    device_local_map: bool = True
 
 
 @dataclasses.dataclass
@@ -104,6 +107,7 @@ class Tracker:
         self.mapping_worker = None
         from orbslam2_tpu.utils.profiling import StageTimer
         self.stats = StageTimer(enabled=config.profile_stages)
+        self._mirror = None  # DeviceMapMirror, created on first local-map use
 
     # ------------------------------------------------------------------
     # public API
@@ -456,6 +460,7 @@ class Tracker:
         self.ref_kf = -1
         self._init_ref = None
         self._covis_w = None
+        self._mirror = None
 
     # ------------------------------------------------------------------
     def _word_ids(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
@@ -537,31 +542,50 @@ class Tracker:
         cap = self.cfg.local_point_cap
         if len(pt_ids) > cap:
             pt_ids = pt_ids[:cap]
-        c = cap
-        pos = np.zeros((c, 3), np.float32)
-        desc = np.zeros((c, 8), np.uint32)
-        valid = np.zeros(c, bool)
-        normal = np.zeros((c, 3), np.float32)
-        dmin = np.zeros(c, np.float32)
-        dmax = np.zeros(c, np.float32)
         n_local = len(pt_ids)
-        pos[:n_local] = self.map.pt_pos[pt_ids]
-        desc[:n_local] = self.map.pt_desc[pt_ids]
-        valid[:n_local] = True
-        normal[:n_local] = self.map.pt_normal[pt_ids]
-        dmin[:n_local] = self.map.pt_min_dist[pt_ids]
-        dmax[:n_local] = self.map.pt_max_dist[pt_ids]
         # don't re-match points already associated by motion-model tracking
         already = np.isin(pt_ids, fr.pt_ids[fr.pt_ids >= 0])
-        valid[:n_local] &= ~already
         kp_taken = fr.pt_ids >= 0
-
         radius_mult = 3.0 if fr.frame_id - self.last_reloc_frame_id < 2 else 1.0
-        info, res = kernels.search_local_points(
-            jnp.asarray(fr.tcw), jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
-            jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
-            fr.kp, jnp.asarray(kp_taken), radius_mult, self.cam,
-            self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+
+        if self.cfg.device_local_map:
+            # device-resident map: ship only the local id list; rows are
+            # gathered on device from the synced mirror
+            if self._mirror is None:
+                from orbslam2_tpu.slammap.device_map import DeviceMapMirror
+                self._mirror = DeviceMapMirror()
+            mir = self._mirror
+            mir.sync(self.map)
+            ids = np.zeros(cap, np.int32)
+            ids[:n_local] = pt_ids
+            sel = np.zeros(cap, bool)
+            sel[:n_local] = ~already
+            info, res = kernels.search_local_points_gathered(
+                jnp.asarray(fr.tcw), jnp.asarray(ids), jnp.asarray(sel),
+                mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+                mir.pt_min_dist, mir.pt_max_dist,
+                fr.kp, jnp.asarray(kp_taken), radius_mult, self.cam,
+                self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+        else:
+            c = cap
+            pos = np.zeros((c, 3), np.float32)
+            desc = np.zeros((c, 8), np.uint32)
+            valid = np.zeros(c, bool)
+            normal = np.zeros((c, 3), np.float32)
+            dmin = np.zeros(c, np.float32)
+            dmax = np.zeros(c, np.float32)
+            pos[:n_local] = self.map.pt_pos[pt_ids]
+            desc[:n_local] = self.map.pt_desc[pt_ids]
+            valid[:n_local] = True
+            normal[:n_local] = self.map.pt_normal[pt_ids]
+            dmin[:n_local] = self.map.pt_min_dist[pt_ids]
+            dmax[:n_local] = self.map.pt_max_dist[pt_ids]
+            valid[:n_local] &= ~already
+            info, res = kernels.search_local_points(
+                jnp.asarray(fr.tcw), jnp.asarray(pos), jnp.asarray(desc), jnp.asarray(valid),
+                jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
+                fr.kp, jnp.asarray(kp_taken), radius_mult, self.cam,
+                self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
         assoc = np.asarray(res.assoc)  # [N_kp] -> candidate row
         newly = assoc >= 0
         fr.pt_ids[newly] = pt_ids[assoc[newly]]

@@ -1,0 +1,56 @@
+"""Device-resident mirror of the map-point arrays the tracker reads
+per frame.
+
+The reference tracker walks pointer graphs under a mutex each frame
+(Tracking::SearchLocalPoints, /root/reference/src/Tracking.cc:1403). The
+array-map equivalent used to re-stage ~250 KB of gathered point rows from
+host to device every frame; this mirror keeps the full point SoA resident
+in device memory and uploads only rows dirtied by mapping events (adds,
+culls, BA updates), so per-frame traffic drops to the local-point id list
+(a few KB). Bulk rewrites (loop correction, global BA) fall back to one
+full upload.
+
+MapState records dirtiness via mark_pts_dirty / mark_all_pts_dirty at every
+point-array write site; sync() consumes it under the caller's map lock.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FIELDS = ("pt_pos", "pt_desc", "pt_valid", "pt_normal",
+          "pt_min_dist", "pt_max_dist")
+
+
+class DeviceMapMirror:
+    def __init__(self):
+        self.gen = -1
+        self.arrays: Optional[dict] = None
+        self.n_full_uploads = 0
+        self.n_row_uploads = 0
+
+    def sync(self, m) -> None:
+        """Bring the mirror up to date with the host MapState. Call with
+        the map lock held (the tracker holds it for the whole frame)."""
+        if m.pt_dirty_gen == self.gen and self.arrays is not None:
+            return
+        dirty_all, dirty_ids = m.consume_pt_dirty()
+        if self.arrays is None or dirty_all:
+            self.arrays = {f: jnp.asarray(getattr(m, f)) for f in FIELDS}
+            self.n_full_uploads += 1
+        elif len(dirty_ids):
+            idx = jnp.asarray(dirty_ids, jnp.int32)
+            for f in FIELDS:
+                rows = jnp.asarray(getattr(m, f)[dirty_ids])
+                self.arrays[f] = self.arrays[f].at[idx].set(rows)
+            self.n_row_uploads += 1
+        self.gen = m.pt_dirty_gen
+
+    def __getattr__(self, name):
+        arrays = self.__dict__.get("arrays")
+        if arrays is not None and name in FIELDS:
+            return arrays[name]
+        raise AttributeError(name)

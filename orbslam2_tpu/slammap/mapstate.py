@@ -25,6 +25,11 @@ import numpy as np
 from orbslam2_tpu.ops.orb import DESC_WORDS
 
 
+import itertools
+
+_DIRTY_GEN = itertools.count(1)
+
+
 def _use_native() -> bool:
     import os
     return os.environ.get("ORBSLAM2_TPU_NATIVE", "1") != "0"
@@ -92,6 +97,13 @@ class MapState:
         self.dead_kf = {}
         # "big change" counter (Map::InformNewBigChange, Map.cc:70-81)
         self.change_index = 0
+        # dirty bookkeeping for device-resident mirrors (slammap/device_map):
+        # every point-array write marks rows dirty; bulk rewrites mark all.
+        # The generation is globally monotone so a mirror never mistakes a
+        # cleared/reloaded map for an up-to-date one.
+        self.pt_dirty_gen = next(_DIRTY_GEN)
+        self._pt_dirty: set = set()
+        self._pt_dirty_all = True
 
     # ------------------------------------------------------------------
     # allocation
@@ -175,6 +187,7 @@ class MapState:
         self.pt_first_frame[p] = frame_id
         self.pt_stamp[p] = self._pt_counter
         self._pt_counter += 1
+        self.mark_pts_dirty((p,))
         return p
 
     # ------------------------------------------------------------------
@@ -189,6 +202,30 @@ class MapState:
             self.kf_pt[kf, slots] = -1
         else:
             self.kf_pt[kf, slot_or_pt] = -1
+
+    def mark_pts_dirty(self, ids) -> None:
+        """Record point rows whose device-mirror copy is stale
+        (slammap/device_map.DeviceMapMirror)."""
+        if not self._pt_dirty_all:
+            self._pt_dirty.update(int(i) for i in ids)
+            if len(self._pt_dirty) > 8192:  # row scatter no longer cheaper
+                self._pt_dirty_all = True
+                self._pt_dirty.clear()
+        self.pt_dirty_gen = next(_DIRTY_GEN)
+
+    def mark_all_pts_dirty(self) -> None:
+        self._pt_dirty_all = True
+        self._pt_dirty.clear()
+        self.pt_dirty_gen = next(_DIRTY_GEN)
+
+    def consume_pt_dirty(self):
+        """-> (all_dirty, sorted dirty id array); clears the dirty state."""
+        all_dirty = self._pt_dirty_all
+        ids = np.fromiter(self._pt_dirty, np.int64, len(self._pt_dirty))
+        ids.sort()
+        self._pt_dirty_all = False
+        self._pt_dirty.clear()
+        return all_dirty, ids
 
     def point_observations(self, pt: int) -> List[Tuple[int, int]]:
         """-> [(kf, slot)] over valid keyframes."""
@@ -214,6 +251,7 @@ class MapState:
         self.kf_pt[self.kf_pt == pt] = -1
         self.pt_valid[pt] = False
         self._pt_free.append(pt)
+        self.mark_pts_dirty((pt,))
 
     def replace_point(self, old: int, new: int) -> None:
         """MapPoint::Replace (/root/reference/src/MapPoint.cc:190-232):
@@ -229,6 +267,7 @@ class MapState:
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_valid[old] = False
         self._pt_free.append(old)
+        self.mark_pts_dirty((old,))
 
     def erase_keyframe(self, kf: int) -> None:
         """KeyFrame::SetBadFlag (/root/reference/src/KeyFrame.cc:489-580):
@@ -283,6 +322,7 @@ class MapState:
         viewing normal / scale band (UpdateNormalAndDepth MapPoint.cc:371-421).
         Uses the native C++ engine when built (slammap/native.py)."""
         pts = np.asarray(pts, np.int64)
+        self.mark_pts_dirty(pts)
         if _use_native():
             from orbslam2_tpu.slammap import native
             if native.update_point_stats(self, pts, scale_factor, n_levels):

@@ -138,3 +138,47 @@ class TestCovisibility:
         edges = covisibility.essential_edges(m, w)
         assert (kfs[0], kfs[1]) in edges
         assert (kfs[0], kfs[2]) in edges
+
+
+class TestDeviceMapMirror:
+    def test_dirty_row_sync(self):
+        import jax.numpy as jnp
+        from orbslam2_tpu.slammap.device_map import DeviceMapMirror
+        m, kfs, pts = make_map()
+        mir = DeviceMapMirror()
+        mir.sync(m)
+        assert mir.n_full_uploads == 1
+        np.testing.assert_allclose(np.asarray(mir.pt_pos), m.pt_pos)
+        # idempotent when clean
+        mir.sync(m)
+        assert mir.n_full_uploads == 1 and mir.n_row_uploads == 0
+        # dirty a few rows -> row upload, values match
+        m.pt_pos[pts[3]] = [9, 9, 9]
+        m.mark_pts_dirty([pts[3]])
+        new_pt = m.add_point(np.array([1, 2, 3], np.float32),
+                             np.zeros(8, np.uint32), kfs[0], 5)
+        mir.sync(m)
+        assert mir.n_row_uploads == 1 and mir.n_full_uploads == 1
+        np.testing.assert_allclose(np.asarray(mir.pt_pos)[pts[3]], [9, 9, 9])
+        np.testing.assert_allclose(np.asarray(mir.pt_pos)[new_pt], [1, 2, 3])
+        assert bool(np.asarray(mir.pt_valid)[new_pt])
+        # erase -> validity propagates
+        m.erase_point(pts[0])
+        mir.sync(m)
+        assert not bool(np.asarray(mir.pt_valid)[pts[0]])
+        # bulk rewrite -> full upload
+        m.pt_pos[:] += 1.0
+        m.mark_all_pts_dirty()
+        mir.sync(m)
+        assert mir.n_full_uploads == 2
+        np.testing.assert_allclose(np.asarray(mir.pt_pos), m.pt_pos)
+
+    def test_mirror_survives_map_clear(self):
+        from orbslam2_tpu.slammap.device_map import DeviceMapMirror
+        m, kfs, pts = make_map()
+        mir = DeviceMapMirror()
+        mir.sync(m)
+        m.clear()  # fresh generation; mirror must resync, not alias stale
+        assert m.pt_dirty_gen != mir.gen
+        mir.sync(m)
+        assert not np.asarray(mir.pt_valid).any()

@@ -1,0 +1,113 @@
+"""Mesh-size sweep of the distributed Schur-PCG bundle adjustment.
+
+BASELINE.json's north-star metric is BA scaling efficiency >= 70% at N >= 2
+hosts. Real multi-chip hardware is not reachable from this box (one v5e
+chip behind the axon relay), so this tool measures two proxies and is the
+harness to run unchanged on a real pod:
+
+- correctness at every mesh size (cost decreases, pose error shrinks)
+- wall-clock per LM step on an N-virtual-device CPU mesh
+  (XLA_FLAGS=--xla_force_host_platform_device_count). CPU timing includes
+  real collective scheduling but shares physical cores, so it bounds
+  communication overhead rather than demonstrating speedup.
+
+Usage: python tools/bench_dist_ba.py [n_obs] [mesh sizes...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+MESHES = [int(x) for x in sys.argv[2:]] or [1, 2, 4, 8]
+os.environ.setdefault(
+    "XLA_FLAGS",
+    f"--xla_force_host_platform_device_count={max(MESHES)}")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from orbslam2_tpu.backend.ba import BAProblem  # noqa: E402
+from orbslam2_tpu.geometry import se3  # noqa: E402
+from orbslam2_tpu.geometry.camera import PinholeCamera  # noqa: E402
+from orbslam2_tpu.parallel import dist_ba, mesh as mesh_mod  # noqa: E402
+
+CAM = PinholeCamera(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=50.0)
+
+
+def make_problem(n_cams=64, n_pts=4096, n_obs=65536, noise=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(-6, 6, (n_pts, 3)).astype(np.float32)
+    pts[:, 2] = rng.uniform(6, 18, n_pts)
+    poses_true = np.stack([
+        np.asarray(se3.exp(jnp.asarray((rng.normal(size=6) * 0.1).astype(np.float32))))
+        for _ in range(n_cams)])
+    o_cam = rng.integers(0, n_cams, n_obs)
+    o_pt = rng.integers(0, n_pts, n_obs)
+    uv_list = []
+    for c in range(n_cams):
+        sel = o_cam == c
+        uv, _ = CAM.project(se3.apply(jnp.asarray(poses_true[c]),
+                                      jnp.asarray(pts[o_pt[sel]])))
+        uv_list.append((sel, np.asarray(uv)))
+    o_uv = np.zeros((n_obs, 3), np.float32)
+    for sel, uv in uv_list:
+        o_uv[sel, :2] = uv + rng.normal(size=uv.shape) * noise
+    o_uv[:, 2] = -1.0
+    # perturb initial estimates
+    poses0 = np.stack([
+        np.asarray(se3.compose(jnp.asarray(se3.exp(jnp.asarray(
+            (rng.normal(size=6) * 0.02).astype(np.float32)))), jnp.asarray(p)))
+        for p in poses_true])
+    pts0 = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.05
+    cam_fixed = np.zeros(n_cams, bool)
+    cam_fixed[0] = True
+    problem = BAProblem(
+        poses=jnp.asarray(poses0), points=jnp.asarray(pts0),
+        cam_fixed=jnp.asarray(cam_fixed),
+        obs_cam=jnp.asarray(o_cam, jnp.int32), obs_pt=jnp.asarray(o_pt, jnp.int32),
+        obs_uv=jnp.asarray(o_uv), obs_inv_sigma2=jnp.ones(n_obs),
+        obs_stereo=jnp.zeros(n_obs, bool), obs_valid=jnp.ones(n_obs, bool))
+    return problem, poses_true, pts
+
+
+def main():
+    n_obs = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    problem, poses_true, pts_true = make_problem(n_obs=n_obs)
+    print(f"problem: 64 cams, 4096 pts, {n_obs} obs; meshes {MESHES}")
+    results = {}
+    for n in MESHES:
+        mesh = mesh_mod.make_mesh(n)
+        t0 = time.perf_counter()
+        res = dist_ba.distributed_bundle_adjust(problem, CAM, mesh,
+                                                phase_iters=(3, 3), pcg_iters=30)
+        jax.block_until_ready(res.poses)
+        t_compile_and_run = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res = dist_ba.distributed_bundle_adjust(problem, CAM, mesh,
+                                                phase_iters=(3, 3), pcg_iters=30)
+        jax.block_until_ready(res.poses)
+        t_run = time.perf_counter() - t0
+        err = np.mean([np.linalg.norm(np.asarray(se3.log(se3.compose(
+            res.poses[c], se3.inverse(jnp.asarray(poses_true[c])))))
+        ) for c in range(8)])
+        results[n] = (t_run, float(res.cost), err)
+        print(f"mesh={n}: {t_run*1e3:8.1f} ms/solve (compile+run "
+              f"{t_compile_and_run:.1f}s) cost={float(res.cost):.1f} "
+              f"pose_err={err:.4f}", flush=True)
+    base = results[MESHES[0]][0]
+    for n in MESHES:
+        print(f"scaling vs mesh={MESHES[0]}: mesh={n} -> "
+              f"{base / results[n][0]:.2f}x "
+              f"(efficiency {(base / results[n][0]) / (n / MESHES[0]) * 100:.0f}% "
+              f"— virtual mesh on shared cores: correctness+overhead proxy only)")
+
+
+if __name__ == "__main__":
+    main()
