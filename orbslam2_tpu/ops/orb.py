@@ -269,7 +269,10 @@ class ORBExtractor:
         for level in range(self.config.n_levels):
             lh, lw = self.level_shapes[level]
             if level > 0:
-                img = jax.image.resize(image, (lh, lw), method="bilinear")
+                # cascaded pyramid: each level resampled from the previous
+                # one, accumulating smoothing exactly like the reference
+                # chain (ComputePyramid, ORBextractor.cc:1345)
+                img = jax.image.resize(img, (lh, lw), method="bilinear")
             per_level.append(self._extract_level(img, level))
         return Keypoints(
             xy=jnp.concatenate([k.xy for k in per_level], axis=0),

@@ -90,11 +90,14 @@ def _sad_subpixel(gray_l, gray_r, kp_l: Keypoints, ur0: jax.Array,
 
     ur_out = ur0
     refined_any = jnp.zeros(n, bool)
+    img_l, img_r = gray_l, gray_r
     for lvl in range(n_levels):
         s = scale_factor ** lvl
         lh, lw = max(32, int(round(h / s))), max(32, int(round(w / s)))
-        img_l = gray_l if lvl == 0 else jax.image.resize(gray_l, (lh, lw), "bilinear")
-        img_r = gray_r if lvl == 0 else jax.image.resize(gray_r, (lh, lw), "bilinear")
+        if lvl > 0:
+            # cascaded pyramid, matching the reference's resize chain
+            img_l = jax.image.resize(img_l, (lh, lw), "bilinear")
+            img_r = jax.image.resize(img_r, (lh, lw), "bilinear")
         bl = _separable_conv(img_l, blur)
         br = _separable_conv(img_r, blur)
 

@@ -236,3 +236,74 @@ class TestWindowedMatch:
         assert out[0] == 0
         assert out[1] == int(np.ceil(np.log(2.0) / np.log(1.2)))
         assert out[2] == 7  # clipped
+
+
+def quadtree_distribute(xy: np.ndarray, response: np.ndarray,
+                        w: int, h: int, n_target: int) -> np.ndarray:
+    """Reference DistributeOctTree (ORBextractor.cc:617-923) re-implemented
+    for analysis: recursively split occupied cells until the node count
+    reaches the budget, then keep the best-response keypoint per node.
+    Returns indices of retained keypoints."""
+    nodes = [(0.0, 0.0, float(w), float(h), np.arange(len(xy)))]
+    while len(nodes) < n_target:
+        # split the node with the most keypoints (the reference splits all
+        # expandable nodes per round, biggest first; equivalent budget-wise)
+        order = np.argsort([-len(n[4]) for n in nodes])
+        splittable = [i for i in order if len(nodes[order[0]][4]) > 1]
+        if not splittable or len(nodes[order[0]][4]) <= 1:
+            break
+        i = order[0]
+        x0, y0, x1, y1, idx = nodes.pop(i)
+        mx, my = (x0 + x1) / 2, (y0 + y1) / 2
+        for (a, b, c, d) in [(x0, y0, mx, my), (mx, y0, x1, my),
+                             (x0, my, mx, y1), (mx, my, x1, y1)]:
+            sel = idx[(xy[idx, 0] >= a) & (xy[idx, 0] < c)
+                      & (xy[idx, 1] >= b) & (xy[idx, 1] < d)]
+            if len(sel):
+                nodes.append((a, b, c, d, sel))
+    keep = [n[4][np.argmax(response[n[4]])] for n in nodes]
+    return np.array(sorted(keep))
+
+
+class TestQuadtreeEquivalence:
+    """ROADMAP accuracy-delta check: the grid-bucketed top-k must produce a
+    spatial distribution statistically equivalent to the reference's
+    quadtree DistributeOctTree."""
+
+    def test_grid_topk_matches_quadtree_statistics(self, rng):
+        from orbslam2_tpu.ops import orb as orb_mod
+        img = rng.uniform(0, 255, (240, 320)).astype(np.float32)
+        k = orb_mod.gaussian_kernel1d(1.2, 3)
+        img = np.asarray(orb_mod._separable_conv(jnp.asarray(img), k))
+        cfg = orb_mod.ORBConfig(n_features=400, n_levels=1, use_pallas=False)
+        ex = orb_mod.ORBExtractor(cfg, img.shape)
+        kp = jax.jit(ex.__call__)(jnp.asarray(img))
+        v = np.asarray(kp.valid)
+        ours = np.asarray(kp.xy)[v]
+
+        # quadtree over the same FAST candidate pool
+        corner, score = orb_mod.fast_response(jnp.asarray(img), cfg.ini_th_fast)
+        corner = np.asarray(corner).copy()
+        score = np.asarray(score)
+        m = orb_mod.EDGE_MARGIN
+        corner[:m] = corner[-m:] = False
+        corner[:, :m] = corner[:, -m:] = False
+        cy, cx = np.where(corner)
+        cand_xy = np.stack([cx, cy], 1).astype(np.float32)
+        cand_resp = score[cy, cx]
+        qt = quadtree_distribute(cand_xy, cand_resp, 320, 240, len(ours))
+        qt_xy = cand_xy[qt]
+
+        # compare occupancy statistics on a 8x6 grid
+        def occupancy(pts):
+            hgrid = np.zeros((6, 8))
+            np.add.at(hgrid, (np.clip(pts[:, 1] // 40, 0, 5).astype(int),
+                              np.clip(pts[:, 0] // 40, 0, 7).astype(int)), 1)
+            return hgrid / hgrid.sum()
+
+        ho, hq = occupancy(ours), occupancy(qt_xy)
+        # both should be similarly uniform: compare entropy and L1 gap
+        ent = lambda hgrid: -np.sum(hgrid[hgrid > 0] * np.log(hgrid[hgrid > 0]))
+        e_o, e_q = ent(ho), ent(hq)
+        assert e_o > 0.9 * e_q, (e_o, e_q)
+        assert np.abs(ho - hq).sum() < 0.5, np.abs(ho - hq).sum()
