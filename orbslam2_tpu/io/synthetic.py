@@ -67,7 +67,16 @@ class SyntheticSequence:
         fps: float = 30.0,
         loop: bool = False,
         world: str = "wall",
+        exposure: float = 0.0,
+        occluder: bool = False,
     ):
+        """Robustness stressors (real-dataset failure modes the tests must
+        cover without dataset files, ROADMAP item 2):
+        - exposure: amplitude of a slow sinusoidal gain/bias modulation
+          (0.3 ~ an auto-exposure swing of +-30% gain, +-15 gray bias)
+        - occluder: an untextured-band panel 1 m from the world origin
+          sweeping across the view over the sequence, occluding the scene
+        """
         self.cam = cam
         self.n_frames = n_frames
         self.fps = fps
@@ -122,6 +131,17 @@ class SyntheticSequence:
                     ex=ex.astype(np.float32),
                     ey=np.array([0.0, 1.0, 0.0], np.float32),
                     tex=make_texture(rng, 1024), scale=0.008))
+        self.exposure = exposure
+        self._occluder_plane = None
+        if occluder:
+            self._occluder_plane = Plane(
+                q=np.array([0.0, 0.0, 1.0], np.float32),
+                n=np.array([0.0, 0.0, -1.0], np.float32),
+                ex=np.array([1.0, 0.0, 0.0], np.float32),
+                ey=np.array([0.0, 1.0, 0.0], np.float32),
+                tex=make_texture(rng, 256), scale=0.02,
+                extent=(0.25, 0.6))
+            self.planes.append(self._occluder_plane)
         self.poses = self._make_trajectory(trajectory, n_frames, loop)
 
     # ------------------------------------------------------------------
@@ -185,6 +205,10 @@ class SyntheticSequence:
         tcw = self.poses[i]
         twc = np.linalg.inv(tcw)
         rwc, owc = twc[:3, :3], twc[:3, 3]
+        if self._occluder_plane is not None:
+            # sweep the occluder across the field of view over the sequence
+            t = i / max(self.n_frames - 1, 1)
+            self._occluder_plane.q[0] = -1.2 + 2.4 * t
 
         h, w = cam.height, cam.width
         us, vs = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
@@ -235,6 +259,12 @@ class SyntheticSequence:
             depth[sel] = z[sel]
 
         depth[~np.isfinite(depth)] = -1.0
+        if self.exposure:
+            # sinusoidal auto-exposure swing: per-frame gain + bias
+            t = i / max(self.n_frames - 1, 1)
+            gain = 1.0 + self.exposure * np.sin(2 * np.pi * 3 * t)
+            bias = 50.0 * self.exposure * np.sin(2 * np.pi * 2 * t + 1.0)
+            gray = np.clip(gain * gray + bias, 0.0, 255.0).astype(np.float32)
         return gray, depth
 
     def timestamps(self) -> np.ndarray:

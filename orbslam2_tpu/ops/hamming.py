@@ -79,12 +79,14 @@ def best_and_second(
     """
     if mask is not None:
         dist = jnp.where(mask, dist, INVALID_DIST)
-    neg = -dist
-    k = min(2, dist.shape[1])
-    topk, idxk = jax.lax.top_k(neg, k)
-    best = -topk[:, 0]
-    second = -topk[:, 1] if k == 2 else jnp.full_like(best, INVALID_DIST)
-    return idxk[:, 0].astype(jnp.int32), best, second
+    # explicit two-pass min instead of lax.top_k: top_k lowers to a per-row
+    # sort on TPU (O(M log M) over thousands of columns); two masked
+    # reductions are plain VPU passes
+    best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    best = jnp.min(dist, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    second = jnp.min(jnp.where(cols == best_idx[:, None], INVALID_DIST, dist), axis=1)
+    return best_idx, best, second
 
 
 def mutual_best(dist: jax.Array, mask: jax.Array | None = None) -> jax.Array:

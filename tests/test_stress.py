@@ -97,3 +97,43 @@ class TestKittiScaleMap:
         assert t_l < 0.5, f"local_keyframes {t_l:.2f}s"
         print(f"\nKITTI-scale: weight_matrix {t_w*1e3:.0f} ms, "
               f"obs_count {t_c*1e3:.0f} ms, local_kfs {t_l*1e3:.0f} ms")
+
+
+class TestRobustness:
+    """Real-dataset failure modes on synthetic worlds (ROADMAP item 2):
+    auto-exposure swings and a moving occluder."""
+
+    def _run(self, **seq_kw):
+        from orbslam2_tpu.frontend.tracking import SLAMConfig
+        from orbslam2_tpu.geometry.camera import PinholeCamera
+        from orbslam2_tpu.io.evaluate import ate_rmse
+        from orbslam2_tpu.io.synthetic import SyntheticSequence
+        from orbslam2_tpu.ops.orb import ORBConfig
+        from orbslam2_tpu.system import SLAMSystem, Sensor
+
+        cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                            width=320, height=240, bf=26.0)
+        cfg = SLAMConfig(cam=cam, orb=ORBConfig(n_features=800, n_levels=4),
+                         th_depth=4.0, min_init_features=250)
+        system = SLAMSystem(cfg, Sensor.RGBD)
+        seq = SyntheticSequence(cam, n_frames=30, trajectory="lateral",
+                                seed=3, **seq_kw)
+        lost = 0
+        for i in range(seq.n_frames):
+            gray, depth = seq.render(i)
+            if system.track_rgbd(gray, depth, i / seq.fps) is None:
+                lost += 1
+        est = system.tracker.full_trajectory_twc()
+        gt = np.stack([np.linalg.inv(seq.poses[i]) for i in range(seq.n_frames)])
+        from orbslam2_tpu.io.evaluate import ate_rmse as _ate
+        return lost, _ate(est, gt)
+
+    def test_exposure_swings(self):
+        lost, ate = self._run(exposure=0.3)
+        assert lost <= 2, lost
+        assert ate < 0.06, ate
+
+    def test_moving_occluder(self):
+        lost, ate = self._run(occluder=True)
+        assert lost <= 3, lost
+        assert ate < 0.08, ate

@@ -47,7 +47,7 @@ def main():
     kp0 = jax.tree_util.tree_map(lambda x: np.asarray(x), kp0)
     kp0 = jax.tree_util.tree_map(jnp.asarray, kp0)
 
-    M = 8
+    M = 32
 
     def scanned(fn):
         @jax.jit
@@ -64,9 +64,12 @@ def main():
         return jnp.sum(kp.xy) + jnp.sum(kp.desc).astype(jnp.float32) * 1e-9
 
     def s_search(x):
-        kp = kp0.replace(xy=kp0.xy + x[:1, :1] * 0)
+        # carry-dependent descriptor bits (zero at runtime, opaque to XLA)
+        # so the Hamming matmul cannot be hoisted out of the scan
+        tweak = (jnp.abs(x[0, 0]) * 1e-30).astype(jnp.uint32)
+        kp = kp0.replace(desc=kp0.desc ^ tweak)
         info, res = kernels.search_local_points.__wrapped__(
-            tcw0, pt_pos + x[0, 0] * 1e-20, pt_desc, pt_valid, pt_normal,
+            tcw0, pt_pos + x[0, 0] * 1e-20, pt_desc ^ tweak, pt_valid, pt_normal,
             pt_min, pt_max, kp, jnp.zeros((kp.n,), bool), 1.0, cam,
             cfg.scale_factor, cfg.n_levels, 100)
         return jnp.sum(res.assoc).astype(jnp.float32) + jnp.sum(info.uv) * 1e-9
