@@ -213,6 +213,19 @@ def fast_response(img: jax.Array, threshold: float) -> Tuple[jax.Array, jax.Arra
     return corner, score
 
 
+def _topk_small(x: jax.Array, k: int):
+    """Row-wise top-k by k rounds of (max, argmax, mask) — faster than
+    lax.top_k's per-row sort when k << row length. -> ([R, k], [R, k])."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmax(x, axis=1).astype(jnp.int32)
+        vals.append(jnp.max(x, axis=1))
+        idxs.append(i)
+        x = jnp.where(cols == i[:, None], -jnp.inf, x)
+    return jnp.stack(vals, axis=1), jnp.stack(idxs, axis=1)
+
+
 def _nms3(score: jax.Array) -> jax.Array:
     """True where score is a strict-enough 3x3 local maximum."""
     neigh = jax.lax.reduce_window(
@@ -321,7 +334,10 @@ class ORBExtractor:
         hp, wp = cand_score.shape
         ncy, ncx = hp // cell, wp // cell
         cells = cand_score.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
-        top_val, top_idx = jax.lax.top_k(cells, min(c.cell_topk, cell * cell))  # [C, k]
+        # iterative masked argmax instead of lax.top_k: top_k lowers to a
+        # per-row sort of cell*cell=1024 scores; k=8 rounds of max+mask are
+        # plain VPU passes (same lesson as hamming.best_and_second)
+        top_val, top_idx = _topk_small(cells, min(c.cell_topk, cell * cell))
         cy = jax.lax.broadcasted_iota(jnp.int32, top_val.shape, 0) // ncx
         cx = jax.lax.broadcasted_iota(jnp.int32, top_val.shape, 0) % ncx
         py = cy * cell + top_idx // cell
