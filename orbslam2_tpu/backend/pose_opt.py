@@ -41,6 +41,20 @@ class PoseObs(NamedTuple):
     valid: jax.Array      # [N] bool
 
 
+def _residual_only(tcw: jax.Array, obs: PoseObs, cam: PinholeCamera):
+    """-> (e [N,3], depth [N]) without the Jacobian (cost evaluations)."""
+    pc = se3.apply(tcw, obs.pts_w)
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    e = jnp.stack([obs.uv[:, 0] - u, obs.uv[:, 1] - v,
+                   jnp.where(obs.is_stereo, obs.uv[:, 2] - ur, 0.0)], axis=-1)
+    return e, z
+
+
 def _residual_jacobian(tcw: jax.Array, obs: PoseObs, cam: PinholeCamera):
     """-> (e [N,3], J [N,3,6], depth [N]). Third row zeroed for mono."""
     pc = se3.apply(tcw, obs.pts_w)  # [N, 3]
@@ -101,7 +115,7 @@ def pose_optimization(
     chi2_th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
 
     def total_cost(tcw, inlier, use_huber):
-        e, _, z = _residual_jacobian(tcw, obs, cam)
+        e, z = _residual_only(tcw, obs, cam)
         c = _chi2(e, obs)
         delta = jnp.where(obs.is_stereo, delta_stereo, delta_mono)
         s = jnp.sqrt(jnp.maximum(c, 1e-12))
@@ -143,7 +157,7 @@ def pose_optimization(
     for r in range(rounds):
         use_huber = jnp.bool_(r < 2)
         tcw = lm_round(tcw, inlier, use_huber)
-        e, _, z = _residual_jacobian(tcw, obs, cam)
+        e, z = _residual_only(tcw, obs, cam)
         c = _chi2(e, obs)
         inlier = obs.valid & (c <= chi2_th) & (z > 1e-6)
     return tcw, inlier, jnp.sum(inlier.astype(jnp.int32))
