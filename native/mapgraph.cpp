@@ -76,6 +76,25 @@ void mg_point_obs_count(const int32_t* kf_pt, const uint8_t* kf_valid,
     }
 }
 
+// Per-keyframe count of observations landing in a point subset (the
+// tracker's UpdateLocalKeyFrames seed computation, Tracking.cc:1515):
+// in_set: [P] bool mask of the frame's matched points. out_share: [K].
+void mg_local_share(const int32_t* kf_pt, const uint8_t* kf_valid,
+                    const uint8_t* in_set, int K, int N, int P,
+                    int32_t* out_share) {
+    std::memset(out_share, 0, sizeof(int32_t) * (size_t)K);
+    for (int k = 0; k < K; ++k) {
+        if (!kf_valid[k]) continue;
+        const int32_t* row = kf_pt + (size_t)k * N;
+        int c = 0;
+        for (int i = 0; i < N; ++i) {
+            int32_t p = row[i];
+            if (p >= 0 && p < P && in_set[p]) ++c;
+        }
+        out_share[k] = c;
+    }
+}
+
 static inline int hamming256(const uint32_t* a, const uint32_t* b) {
     int d = 0;
     for (int w = 0; w < 8; ++w) d += __builtin_popcount(a[w] ^ b[w]);

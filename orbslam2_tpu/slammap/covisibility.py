@@ -79,12 +79,20 @@ def local_keyframes(m, frame_pt_ids: np.ndarray, w: np.ndarray) -> Tuple[np.ndar
     if len(pts) == 0:
         return np.array([], np.int64), -1
     # O(K*N) membership lookup (a [K, N, n_pts] comparison tensor costs
-    # seconds at KITTI scale: 1500 KFs x 150k points)
+    # seconds at KITTI scale: 1500 KFs x 150k points); native single pass
+    # when the engine is built
     in_frame = np.zeros(m.cap.max_points, bool)
     in_frame[pts] = True
-    kf_pt = m.kf_pt
-    share = (in_frame[np.maximum(kf_pt, 0)] & (kf_pt >= 0)).sum(axis=1)
-    share[~m.kf_valid] = 0
+    from orbslam2_tpu.slammap.mapstate import _use_native
+    share = None
+    if _use_native():
+        from orbslam2_tpu.slammap import native
+        share = native.local_share(m.kf_pt, m.kf_valid, in_frame)
+    if share is None:
+        kf_pt = m.kf_pt
+        share = (in_frame[np.maximum(kf_pt, 0)] & (kf_pt >= 0)).sum(axis=1)
+        share[~m.kf_valid] = 0
+    share = share.astype(np.int64)
     seeds = np.where(share > 0)[0]
     if len(seeds) == 0:
         return np.array([], np.int64), -1

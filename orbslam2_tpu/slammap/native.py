@@ -48,6 +48,8 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
                                      ctypes.c_int, i32p]
     lib.mg_point_obs_count.argtypes = [i32p, u8p, ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, i32p]
+    lib.mg_local_share.argtypes = [i32p, u8p, u8p, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int, i32p]
     lib.mg_update_point_stats.argtypes = [
         i64p, ctypes.c_int, i32p, u8p, u32p, i32p, f32p, f32p, i32p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -92,6 +94,25 @@ def point_obs_count(kf_pt: np.ndarray, kf_valid: np.ndarray,
     out = np.zeros(n_points, np.int32)
     lib.mg_point_obs_count(_ptr(kf_pt, ctypes.c_int32), _ptr(kv, ctypes.c_uint8),
                            k, n, n_points, _ptr(out, ctypes.c_int32))
+    return out
+
+
+def local_share(kf_pt: np.ndarray, kf_valid: np.ndarray,
+                in_set: np.ndarray) -> Optional[np.ndarray]:
+    """[K] per-keyframe count of observations whose point is in `in_set`
+    ([P] bool) — the UpdateLocalKeyFrames seed computation."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    k, n = kf_pt.shape
+    p = len(in_set)
+    kf_pt = np.ascontiguousarray(kf_pt, np.int32)
+    kv = np.ascontiguousarray(kf_valid, np.uint8)
+    mask = np.ascontiguousarray(in_set, np.uint8)
+    out = np.zeros(k, np.int32)
+    lib.mg_local_share(_ptr(kf_pt, ctypes.c_int32), _ptr(kv, ctypes.c_uint8),
+                       _ptr(mask, ctypes.c_uint8), k, n, p,
+                       _ptr(out, ctypes.c_int32))
     return out
 
 

@@ -87,3 +87,19 @@ class TestNativeParity:
         finally:
             os.environ.pop("ORBSLAM2_TPU_NATIVE")
         np.testing.assert_array_equal(w1, w2)
+
+
+def test_local_share_matches_numpy():
+    from orbslam2_tpu.slammap import native
+    if not native.available():
+        import pytest
+        pytest.skip("native engine not built")
+    rng = np.random.default_rng(5)
+    k, n, p = 32, 64, 500
+    kf_pt = rng.integers(-1, p, (k, n)).astype(np.int32)
+    kf_valid = rng.random(k) > 0.2
+    in_set = rng.random(p) > 0.7
+    out = native.local_share(kf_pt, kf_valid, in_set)
+    ref = (in_set[np.maximum(kf_pt, 0)] & (kf_pt >= 0)).sum(axis=1)
+    ref[~kf_valid] = 0
+    np.testing.assert_array_equal(out, ref)
