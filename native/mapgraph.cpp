@@ -76,6 +76,48 @@ void mg_point_obs_count(const int32_t* kf_pt, const uint8_t* kf_valid,
     }
 }
 
+// CSR inverted observation index: point -> observing keyframes.
+// out_offsets: [P + 1]; out_kf: [total obs] (caller sizes it K * N).
+// Rebuilt once per mapping event and cached host-side; per-frame queries
+// then touch only the frame's own points (mg_share_from_index).
+void mg_invert_obs(const int32_t* kf_pt, const uint8_t* kf_valid,
+                   int K, int N, int P,
+                   int32_t* out_offsets, int32_t* out_kf) {
+    std::vector<int32_t> counts((size_t)P, 0);
+    for (int k = 0; k < K; ++k) {
+        if (!kf_valid[k]) continue;
+        const int32_t* row = kf_pt + (size_t)k * N;
+        for (int i = 0; i < N; ++i) {
+            int32_t p = row[i];
+            if (p >= 0 && p < P) counts[p] += 1;
+        }
+    }
+    out_offsets[0] = 0;
+    for (int p = 0; p < P; ++p) out_offsets[p + 1] = out_offsets[p] + counts[p];
+    std::vector<int32_t> cursor(out_offsets, out_offsets + P);
+    for (int k = 0; k < K; ++k) {
+        if (!kf_valid[k]) continue;
+        const int32_t* row = kf_pt + (size_t)k * N;
+        for (int i = 0; i < N; ++i) {
+            int32_t p = row[i];
+            if (p >= 0 && p < P) out_kf[cursor[p]++] = k;
+        }
+    }
+}
+
+// share[k] = number of pts (given id list) observed by keyframe k, using
+// the CSR index from mg_invert_obs.
+void mg_share_from_index(const int32_t* offsets, const int32_t* obs_kf,
+                         const int64_t* pt_ids, int n_pts, int K,
+                         int32_t* out_share) {
+    std::memset(out_share, 0, sizeof(int32_t) * (size_t)K);
+    for (int i = 0; i < n_pts; ++i) {
+        int64_t p = pt_ids[i];
+        for (int32_t o = offsets[p]; o < offsets[p + 1]; ++o)
+            out_share[obs_kf[o]] += 1;
+    }
+}
+
 // Per-keyframe count of observations landing in a point subset (the
 // tracker's UpdateLocalKeyFrames seed computation, Tracking.cc:1515):
 // in_set: [P] bool mask of the frame's matched points. out_share: [K].

@@ -50,11 +50,16 @@ def covisible_neighbors(w: np.ndarray, kf: int, min_weight: int = COVIS_THRESHOL
 
 
 def best_covisible(w: np.ndarray, kf: int, n: int) -> np.ndarray:
-    """Top-n neighbors by weight (GetBestCovisibilityKeyFrames KeyFrame.cc:183)."""
+    """Top-n neighbors by weight (GetBestCovisibilityKeyFrames KeyFrame.cc:183).
+    argpartition + small sort: this runs ~80x per frame in the local-map
+    neighbor ring; a full argsort over K keyframes dominates at map scale."""
     row = w[kf]
-    order = np.argsort(-row, kind="stable")
-    order = order[row[order] > 0]
-    return order[:n]
+    if n < len(row):
+        cand = np.argpartition(-row, n)[:n + 1]
+    else:
+        cand = np.arange(len(row))
+    cand = cand[row[cand] > 0]
+    return cand[np.argsort(-row[cand], kind="stable")][:n]
 
 
 def assign_spanning_parent(m, w: np.ndarray, kf: int) -> None:
@@ -81,14 +86,17 @@ def local_keyframes(m, frame_pt_ids: np.ndarray, w: np.ndarray) -> Tuple[np.ndar
     # O(K*N) membership lookup (a [K, N, n_pts] comparison tensor costs
     # seconds at KITTI scale: 1500 KFs x 150k points); native single pass
     # when the engine is built
-    in_frame = np.zeros(m.cap.max_points, bool)
-    in_frame[pts] = True
     from orbslam2_tpu.slammap.mapstate import _use_native
     share = None
     if _use_native():
         from orbslam2_tpu.slammap import native
-        share = native.local_share(m.kf_pt, m.kf_valid, in_frame)
+        idx = m.obs_index()  # cached CSR per mapping event
+        if idx is not None:
+            share = native.share_from_index(idx[0], idx[1], pts,
+                                            m.cap.max_keyframes)
     if share is None:
+        in_frame = np.zeros(m.cap.max_points, bool)
+        in_frame[pts] = True
         kf_pt = m.kf_pt
         share = (in_frame[np.maximum(kf_pt, 0)] & (kf_pt >= 0)).sum(axis=1)
         share[~m.kf_valid] = 0

@@ -104,6 +104,11 @@ class MapState:
         self.pt_dirty_gen = next(_DIRTY_GEN)
         self._pt_dirty: set = set()
         self._pt_dirty_all = True
+        # observation-structure generation: bumps whenever kf_pt changes
+        # (guards the per-frame point_obs_count cache)
+        self.obs_gen = next(_DIRTY_GEN)
+        self._obs_count_cache = None
+        self._obs_index_cache = None
 
     # ------------------------------------------------------------------
     # allocation
@@ -195,6 +200,7 @@ class MapState:
     # ------------------------------------------------------------------
     def add_observation(self, kf: int, slot: int, pt: int) -> None:
         self.kf_pt[kf, slot] = pt
+        self.obs_gen = next(_DIRTY_GEN)
 
     def erase_observation(self, kf: int, slot_or_pt: int, by_point: bool = False) -> None:
         if by_point:
@@ -202,6 +208,7 @@ class MapState:
             self.kf_pt[kf, slots] = -1
         else:
             self.kf_pt[kf, slot_or_pt] = -1
+        self.obs_gen = next(_DIRTY_GEN)
 
     def mark_pts_dirty(self, ids) -> None:
         """Record point rows whose device-mirror copy is stale
@@ -233,7 +240,31 @@ class MapState:
         return [(int(k), int(s)) for k, s in zip(ks, slots) if self.kf_valid[k]]
 
     def point_obs_count(self) -> np.ndarray:
-        """[P] number of keyframe observations per point."""
+        """[P] number of keyframe observations per point. Cached per
+        observation-structure generation (recomputed only after mapping
+        events; the tracker asks every frame)."""
+        if self._obs_count_cache is not None and \
+                self._obs_count_cache[0] == self.obs_gen:
+            return self._obs_count_cache[1]
+        out = self._point_obs_count_impl()
+        self._obs_count_cache = (self.obs_gen, out)
+        return out
+
+    def obs_index(self):
+        """Cached CSR point->keyframe observation index (native engine),
+        rebuilt when the observation structure changes. None without the
+        native library."""
+        if self._obs_index_cache is not None and \
+                self._obs_index_cache[0] == self.obs_gen:
+            return self._obs_index_cache[1]
+        if not _use_native():
+            return None
+        from orbslam2_tpu.slammap import native
+        idx = native.invert_obs(self.kf_pt, self.kf_valid, self.cap.max_points)
+        self._obs_index_cache = (self.obs_gen, idx)
+        return idx
+
+    def _point_obs_count_impl(self) -> np.ndarray:
         p = self.cap.max_points
         if _use_native():
             from orbslam2_tpu.slammap import native
@@ -251,6 +282,7 @@ class MapState:
         self.kf_pt[self.kf_pt == pt] = -1
         self.pt_valid[pt] = False
         self._pt_free.append(pt)
+        self.obs_gen = next(_DIRTY_GEN)
         self.mark_pts_dirty((pt,))
 
     def replace_point(self, old: int, new: int) -> None:
@@ -267,6 +299,7 @@ class MapState:
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_valid[old] = False
         self._pt_free.append(old)
+        self.obs_gen = next(_DIRTY_GEN)
         self.mark_pts_dirty((old,))
 
     def erase_keyframe(self, kf: int) -> None:
@@ -284,6 +317,7 @@ class MapState:
         self.kf_valid[kf] = False
         self.kf_order[kf] = -1
         self._kf_free.append(kf)
+        self.obs_gen = next(_DIRTY_GEN)
 
     def resolve_kf_pose(self, kf: int, order: int):
         """Tcw of a (possibly culled) keyframe identified by (slot, order):

@@ -50,6 +50,10 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int, i32p]
     lib.mg_local_share.argtypes = [i32p, u8p, u8p, ctypes.c_int,
                                    ctypes.c_int, ctypes.c_int, i32p]
+    lib.mg_invert_obs.argtypes = [i32p, u8p, ctypes.c_int, ctypes.c_int,
+                                  ctypes.c_int, i32p, i32p]
+    lib.mg_share_from_index.argtypes = [i32p, i32p, i64p, ctypes.c_int,
+                                        ctypes.c_int, i32p]
     lib.mg_update_point_stats.argtypes = [
         i64p, ctypes.c_int, i32p, u8p, u32p, i32p, f32p, f32p, i32p,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -113,6 +117,39 @@ def local_share(kf_pt: np.ndarray, kf_valid: np.ndarray,
     lib.mg_local_share(_ptr(kf_pt, ctypes.c_int32), _ptr(kv, ctypes.c_uint8),
                        _ptr(mask, ctypes.c_uint8), k, n, p,
                        _ptr(out, ctypes.c_int32))
+    return out
+
+
+def invert_obs(kf_pt: np.ndarray, kf_valid: np.ndarray, n_points: int):
+    """-> (offsets [P+1] int32, obs_kf [total] int32) CSR point->keyframe
+    index, or None without the native engine."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    k, n = kf_pt.shape
+    kf_pt = np.ascontiguousarray(kf_pt, np.int32)
+    kv = np.ascontiguousarray(kf_valid, np.uint8)
+    offsets = np.zeros(n_points + 1, np.int32)
+    buf = np.zeros(k * n, np.int32)
+    lib.mg_invert_obs(_ptr(kf_pt, ctypes.c_int32), _ptr(kv, ctypes.c_uint8),
+                      k, n, n_points, _ptr(offsets, ctypes.c_int32),
+                      _ptr(buf, ctypes.c_int32))
+    total = int(offsets[-1])
+    return offsets, buf[:total].copy()
+
+
+def share_from_index(offsets: np.ndarray, obs_kf: np.ndarray,
+                     pt_ids: np.ndarray, n_kf: int):
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    pt_ids = np.ascontiguousarray(pt_ids, np.int64)
+    out = np.zeros(n_kf, np.int32)
+    lib.mg_share_from_index(
+        _ptr(np.ascontiguousarray(offsets, np.int32), ctypes.c_int32),
+        _ptr(np.ascontiguousarray(obs_kf, np.int32), ctypes.c_int32),
+        _ptr(pt_ids, ctypes.c_int64), len(pt_ids), n_kf,
+        _ptr(out, ctypes.c_int32))
     return out
 
 

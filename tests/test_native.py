@@ -103,3 +103,30 @@ def test_local_share_matches_numpy():
     ref = (in_set[np.maximum(kf_pt, 0)] & (kf_pt >= 0)).sum(axis=1)
     ref[~kf_valid] = 0
     np.testing.assert_array_equal(out, ref)
+
+
+def test_invert_obs_and_share_from_index():
+    from orbslam2_tpu.slammap import native
+    if not native.available():
+        import pytest
+        pytest.skip("native engine not built")
+    rng = np.random.default_rng(9)
+    k, n, p = 24, 48, 300
+    kf_pt = rng.integers(-1, p, (k, n)).astype(np.int32)
+    kf_valid = rng.random(k) > 0.25
+    offsets, obs_kf = native.invert_obs(kf_pt, kf_valid, p)
+    # index is a faithful inversion
+    for pt in rng.integers(0, p, 20):
+        observers = sorted(obs_kf[offsets[pt]:offsets[pt + 1]].tolist())
+        ref = sorted(int(kk) for kk in range(k)
+                     if kf_valid[kk] and (kf_pt[kk] == pt).any()
+                     for _ in range((kf_pt[kk] == pt).sum()))
+        assert observers == ref, pt
+    # share query matches the direct mask computation
+    pts = rng.choice(p, 40, replace=False).astype(np.int64)
+    share = native.share_from_index(offsets, obs_kf, pts, k)
+    in_set = np.zeros(p, bool)
+    in_set[pts] = True
+    ref = (in_set[np.maximum(kf_pt, 0)] & (kf_pt >= 0)).sum(axis=1)
+    ref[~kf_valid] = 0
+    np.testing.assert_array_equal(share, ref)
