@@ -56,9 +56,23 @@ def _moment_kernels_padded() -> Tuple[np.ndarray, np.ndarray]:
     return k10, k01
 
 
+KP_PER_STEP = 1     # keypoints per grid step. Negative result (v5e): 4
+                    # kp/step benched SLOWER (207 vs 222 fps end-to-end) —
+                    # Mosaic already pipelines grid steps; the batched body
+                    # just raises VMEM/register pressure.
+
+
 def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, k10_ref, k01_ref,
             dx_ref, dy_ref, mom_ref, desc_ref):
-    k = pl.program_id(0)
+    step = pl.program_id(0)
+    for b in range(KP_PER_STEP):
+        _one_keypoint(step * KP_PER_STEP + b, ys_ref, xs_ref, raw_ref,
+                      blur_ref, k10_ref, k01_ref, dx_ref, dy_ref,
+                      mom_ref, desc_ref)
+
+
+def _one_keypoint(k, ys_ref, xs_ref, raw_ref, blur_ref, k10_ref, k01_ref,
+                  dx_ref, dy_ref, mom_ref, desc_ref):
     y = ys_ref[k]
     x = xs_ref[k]
     h = raw_ref.shape[0]
@@ -148,6 +162,12 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
     """
     h, w = raw.shape
     kcount = ys.shape[0]
+    # pad the keypoint list to a multiple of the per-step batch
+    kpad = (-kcount) % KP_PER_STEP
+    if kpad:
+        ys = jnp.concatenate([ys, jnp.zeros((kpad,), ys.dtype)])
+        xs = jnp.concatenate([xs, jnp.zeros((kpad,), xs.dtype)])
+    ktot = kcount + kpad
     # pad width to a lane multiple with room for one full window
     wp = max(WIN_C, ((w + 127) // 128) * 128)
     if wp != w:
@@ -165,7 +185,7 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(kcount,),
+        grid=(ktot // KP_PER_STEP,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # raw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # blur
@@ -183,15 +203,15 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
         _kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((kcount, 2), jnp.float32),
-            jax.ShapeDtypeStruct((kcount, 8), jnp.uint32),
+            jax.ShapeDtypeStruct((ktot, 2), jnp.float32),
+            jax.ShapeDtypeStruct((ktot, 8), jnp.uint32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=kcount * 2 * 512 * WIN_R * WIN_C,
-            bytes_accessed=kcount * (2 * WIN_R * WIN_C * 4),
+            flops=ktot * 2 * 512 * WIN_R * WIN_C,
+            bytes_accessed=ktot * (2 * WIN_R * WIN_C * 4),
             transcendentals=0,
         ),
         interpret=interpret,
     )(ys, xs, raw, blur, jnp.asarray(k10), jnp.asarray(k01), dx, dy)
-    angle = jnp.arctan2(mom[:, 1], mom[:, 0])
-    return angle, desc
+    angle = jnp.arctan2(mom[:kcount, 1], mom[:kcount, 0])
+    return angle, desc[:kcount]
