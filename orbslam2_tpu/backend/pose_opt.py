@@ -125,8 +125,18 @@ def pose_optimization(
         return jnp.sum(jnp.where(w, cost, 0.0))
 
     def lm_round(tcw, inlier, use_huber):
-        def step(carry, _):
-            tcw, lam, cost = carry
+        # Early-exit LM: the reference runs a fixed optimize(10) per round
+        # (Optimizer.cc:442), but once an accepted step's update norm hits
+        # numerical noise every further iteration is a no-op — on TPU each
+        # no-op step still costs a full latency-bound dispatch chain, so a
+        # while_loop that stops at convergence cuts the 40-step chain to
+        # the ~10-15 productive steps with bitwise-negligible pose change.
+        def cond(carry):
+            i, _, _, _, done = carry
+            return (i < iters) & ~done
+
+        def step(carry):
+            i, tcw, lam, cost, _ = carry
             e, j, z = _residual_jacobian(tcw, obs, cam)
             c = _chi2(e, obs)
             delta = jnp.where(obs.is_stereo, delta_stereo, delta_mono)
@@ -146,10 +156,17 @@ def pose_optimization(
             tcw_out = jnp.where(accept, tcw_new, tcw)
             lam_out = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-8), jnp.minimum(lam * 4.0, 1e6))
             cost_out = jnp.where(accept, cost_new, cost)
-            return (tcw_out, lam_out, cost_out), None
+            # converged: the PROPOSED step is below noise (|xi| < 1e-5 ~
+            # 5e-3 px at f=520, rotation ~1e-5 rad) — at a stationary point
+            # LM keeps proposing/rejecting such steps (measured trace:
+            # |xi|^2 ~ 1e-11..1e-14 for the tail iterations), so the test
+            # must not be gated on acceptance; or damping is maxed out
+            done = (jnp.sum(xi * xi) < 1e-10) | (lam_out >= 1e6)
+            return (i + 1, tcw_out, lam_out, cost_out, done)
 
         cost0 = total_cost(tcw, inlier, use_huber)
-        (tcw, _, _), _ = jax.lax.scan(step, (tcw, jnp.float32(1e-3), cost0), None, length=iters)
+        carry = (jnp.int32(0), tcw, jnp.float32(1e-3), cost0, jnp.bool_(False))
+        _, tcw, _, _, _ = jax.lax.while_loop(cond, step, carry)
         return tcw
 
     inlier = obs.valid
