@@ -5,21 +5,22 @@ moments on the raw level image + 512 descriptor samples on the blurred
 image; reference IC_Angle /root/reference/src/ORBextractor.cc:83-111 and
 computeOrbDescriptor cc:116-157) with ONE kernel that, per keypoint:
 
-1. loads a 32x256 window of the raw and blurred level images straight from
+1. loads a 48x256 window of the raw and blurred level images straight from
    VMEM (both images are VMEM-resident for the whole call; level images are
-   at most 480x640 f32 = 1.2 MB each),
-2. computes the intensity-centroid moments as an elementwise product with
-   column-shifted moment kernels (the shift aligns the 31x31 disc to the
-   keypoint's position inside the window),
+   at most 480x640 f32 = 1.2 MB each). The window start is tile-aligned
+   (8 sublanes / 128 lanes), and the keypoint's sub-tile offset (rb, cb)
+   is NOT resolved by shifting data — it is absorbed into index arithmetic
+   (a lesson from the v1 kernel, whose four dynamic pltpu.rolls per
+   keypoint dominated its runtime),
+2. computes the intensity-centroid moments with disc/moment weights built
+   on the fly from (rb, cb)-shifted iotas over the raw window,
 3. rotates the BRIEF pattern by the resulting angle and gathers the 512
-   samples with a one-hot row matmul on the MXU ([512,32] @ [32,256] in
-   bfloat16 — one-hot selection of bf16-rounded pixels is exact) followed
-   by a masked column reduction on the VPU,
-4. packs the 256 comparison bits into 8 uint32 words.
-
-v5e profiling motivated this: the XLA path spends ~6.5 ms/frame in
-vmapped dynamic_slice patch extraction + moment einsum + descriptor
-matmuls at 2000 keypoints; the scattered reads here stay in VMEM.
+   samples with a column-one-hot matmul on the MXU
+   (win[48,256] @ onehot_cols^T[256,512] in bfloat16 — one-hot selection
+   of bf16-rounded pixels is exact) followed by a row-select masked
+   reduction on the VPU; (rb, cb) shift the one-hot targets for free,
+4. packs the 256 comparison bits into 8 uint32 words via two exact f32
+   matmuls (bits @ weight halves, each half <= 2^16 so f32 is exact).
 
 Keypoint coordinates arrive via PrefetchScalarGridSpec so they are in SMEM
 before the body runs. The grid is one step per keypoint.
@@ -36,43 +37,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALF_PATCH = 15
-WIN_R = 40          # window rows: 31-row patch + up to 7 rows of sublane
-                    # alignment slack + padding to a sublane-tile multiple
-WIN_C = 256         # window cols (>= 2 * 128 so any 31-wide patch fits after
-                    # aligning the window start down to a lane multiple)
-PATCH_C = 128       # roll-aligned patch canvas width
+WIN_R = 48          # window rows: 31-row patch + 7 rows of sublane-alignment
+                    # slack + up to 13 rows of bottom-clip slack, padded to a
+                    # bf16 sublane-tile multiple (16)
+WIN_C = 256         # window cols: 31-col patch + 127 lanes of alignment
+                    # slack + up to 221 cols of right-clip slack fits because
+                    # keypoints respect EDGE_MARGIN >= 19
 
 
-def _moment_kernels_padded() -> Tuple[np.ndarray, np.ndarray]:
-    """[40, 128] canvases holding the 31x31 intensity-centroid moment
-    kernels (see orb._moment_kernels) at the origin; the kernel rolls the
-    image window so the patch sits at the origin too."""
-    ys, xs = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
-    disc = (xs ** 2 + ys ** 2) <= HALF_PATCH ** 2
-    k10 = np.zeros((WIN_R, PATCH_C), np.float32)
-    k01 = np.zeros((WIN_R, PATCH_C), np.float32)
-    k10[:31, :31] = xs * disc
-    k01[:31, :31] = ys * disc
-    return k10, k01
+def _pack_weights() -> Tuple[np.ndarray, np.ndarray]:
+    """[256, 8] f32 weight tables W[s, w] = 2^(s%16 [+16]) for s//32 == w:
+    bits @ Wlo (+ bits @ Whi << 16) packs 256 bits into 8 uint32 words with
+    every partial sum <= 2^16 - 1, hence exact in f32."""
+    wlo = np.zeros((256, 8), np.float32)
+    whi = np.zeros((256, 8), np.float32)
+    for s in range(256):
+        word, bit = s // 32, s % 32
+        if bit < 16:
+            wlo[s, word] = float(1 << bit)
+        else:
+            whi[s, word] = float(1 << (bit - 16))
+    return wlo, whi
 
 
-KP_PER_STEP = 1     # keypoints per grid step. Negative result (v5e): 4
-                    # kp/step benched SLOWER (207 vs 222 fps end-to-end) —
-                    # Mosaic already pipelines grid steps; the batched body
-                    # just raises VMEM/register pressure.
-
-
-def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, k10_ref, k01_ref,
-            dx_ref, dy_ref, mom_ref, desc_ref):
-    step = pl.program_id(0)
-    for b in range(KP_PER_STEP):
-        _one_keypoint(step * KP_PER_STEP + b, ys_ref, xs_ref, raw_ref,
-                      blur_ref, k10_ref, k01_ref, dx_ref, dy_ref,
-                      mom_ref, desc_ref)
-
-
-def _one_keypoint(k, ys_ref, xs_ref, raw_ref, blur_ref, k10_ref, k01_ref,
-                  dx_ref, dy_ref, mom_ref, desc_ref):
+def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
+            wlo_ref, whi_ref, mom_ref, desc_ref):
+    k = pl.program_id(0)
     y = ys_ref[k]
     x = xs_ref[k]
     h = raw_ref.shape[0]
@@ -80,24 +70,21 @@ def _one_keypoint(k, ys_ref, xs_ref, raw_ref, blur_ref, k10_ref, k01_ref,
 
     ya = jnp.clip(((y - HALF_PATCH) // 8) * 8, 0, h - WIN_R)
     ya = pl.multiple_of(ya, 8)
-    rb = jnp.clip(y - HALF_PATCH - ya, 0, 7)    # patch row offset in window
+    rb = y - HALF_PATCH - ya                    # patch row offset, in [0, 13]
     xa = jnp.clip(((x - HALF_PATCH) // 128) * 128, 0, wp - WIN_C)
     xa = pl.multiple_of(xa, 128)
-    cb = jnp.clip(x - HALF_PATCH - xa, 0, 127)  # patch col offset in window
+    cb = x - HALF_PATCH - xa                    # patch col offset, in [0, 221]
 
-    def patch_window(ref):
-        """32x128 window with the 31x31 patch rolled to the origin (Mosaic
-        slice starts must be tile-aligned; a dynamic roll absorbs the
-        sub-tile offset)."""
-        win = ref[pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
-        win = pltpu.roll(win, (WIN_R - rb) % WIN_R, axis=0)
-        win = pltpu.roll(win, (WIN_C - cb) % WIN_C, axis=1)
-        return win[:, :PATCH_C]
-
-    # ---- orientation: moments over the raw window -----------------------
-    win_raw = patch_window(raw_ref)
-    m10 = jnp.sum(win_raw * k10_ref[:])
-    m01 = jnp.sum(win_raw * k01_ref[:])
+    # ---- orientation: moments with iota-shifted disc weights -------------
+    win_raw = raw_ref[pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
+    ir = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, WIN_C), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, WIN_C), 1)
+    dyy = ir - rb - HALF_PATCH                  # patch-centered row offset
+    dxx = ic - cb - HALF_PATCH
+    disc = (dxx * dxx + dyy * dyy) <= HALF_PATCH * HALF_PATCH
+    wdisc = jnp.where(disc, win_raw, 0.0)
+    m10 = jnp.sum(wdisc * dxx.astype(jnp.float32))
+    m01 = jnp.sum(wdisc * dyy.astype(jnp.float32))
     # the rotation only needs cos/sin = m10/r, m01/r — no atan2 (which has
     # no Pallas TPU lowering); the angle itself is recovered by the caller
     r2 = m10 * m10 + m01 * m01
@@ -106,48 +93,40 @@ def _one_keypoint(k, ys_ref, xs_ref, raw_ref, blur_ref, k10_ref, k01_ref,
     ca = jnp.where(degenerate, 1.0, m10 * inv_r)  # atan2(0,0)=0 convention
     sa = jnp.where(degenerate, 0.0, m01 * inv_r)
 
-    # ---- rotated pattern sample coordinates ([512, 1] layout) -----------
+    # ---- rotated pattern sample coordinates ([1, 512] lane layout) ------
     dx = dx_ref[:]
     dy = dy_ref[:]
     rx = dx * ca - dy * sa
     ry = dx * sa + dy * ca
-    col = jnp.round(rx).astype(jnp.int32) + HALF_PATCH          # [512, 1]
-    row = jnp.round(ry).astype(jnp.int32) + HALF_PATCH
+    col_t = jnp.round(rx).astype(jnp.int32) + HALF_PATCH + cb   # [1, 512]
+    row_t = jnp.round(ry).astype(jnp.int32) + HALF_PATCH + rb
 
-    # ---- gather: one-hot row matmul (MXU) + masked column reduce (VPU) --
-    # contraction dim padded to 128 so both matmul operands are lane-tile
-    # aligned (Mosaic rejects a 40-lane lhs). The concat happens in f32
-    # (40 rows are f32-tile aligned but not bf16-tile aligned); the cast
-    # to bf16 for the MXU comes after, on the aligned [128, 128] shape.
+    # ---- gather: column-one-hot matmul (MXU) + row-select reduce (VPU) --
     # One-hot selection of bf16-rounded pixels is exact; the bf16 rounding
     # of the blurred intensity (~0.5 gray level) only perturbs near-tie
-    # comparison bits.
-    win_blur = patch_window(blur_ref)
-    win_pad = jnp.concatenate(
-        [win_blur, jnp.zeros((128 - WIN_R, PATCH_C), jnp.float32)],
-        axis=0).astype(jnp.bfloat16)
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (512, 128), 1)
-    oh_r = (row == rows_iota).astype(jnp.bfloat16)              # [512, 128]
-    # explicit DEFAULT precision: the package-wide f32 matmul default would
-    # request an fp32 contraction on bf16 operands, which Mosaic rejects
-    tmp = jnp.dot(oh_r, win_pad, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)
-    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (512, PATCH_C), 1)
-    val = jnp.sum(jnp.where(col == cols_iota, tmp, 0.0), axis=1,
-                  keepdims=True)                                # [512, 1]
+    # comparison bits. Explicit DEFAULT precision: the package-wide f32
+    # matmul default would request an fp32 contraction on bf16 operands,
+    # which Mosaic rejects.
+    win_blur = blur_ref[pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)].astype(jnp.bfloat16)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, 512), 0)
+    oh_ct = (cols_iota == col_t).astype(jnp.bfloat16)           # [256c, 512]
+    tmp = jnp.dot(win_blur, oh_ct, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)          # [48, 512]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, 512), 0)
+    vals = jnp.sum(jnp.where(rows_iota == row_t, tmp, 0.0), axis=0,
+                   keepdims=True)                               # [1, 512]
 
-    # ---- pack bits: pattern rows are laid out [a_0..a_255, b_0..b_255] --
-    # pack in int32 (Mosaic lacks unsigned reductions); two's-complement
-    # wraparound keeps the bit pattern of the uint32 word exact
-    bits = (val[:256] < val[256:]).astype(jnp.int32)            # [256, 1]
-    b = bits.reshape(8, 32)
-    weights = (jnp.int32(1) << jax.lax.broadcasted_iota(
-        jnp.int32, (8, 32), 1))
-    packed = jnp.sum(b * weights, axis=1).astype(jnp.uint32)    # [8]
+    # ---- pack bits: pattern lanes are [a_0..a_255, b_0..b_255] ----------
+    bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.float32)  # [1, 256]
+    lo = jnp.dot(bits, wlo_ref[:], preferred_element_type=jnp.float32)
+    hi = jnp.dot(bits, whi_ref[:], preferred_element_type=jnp.float32)
+    # combine in int32 (Mosaic lacks unsigned ops); hi << 16 wraps through
+    # the sign bit — two's complement keeps the uint32 bit pattern exact
+    word = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)  # [1, 8]
 
     mom_ref[k, 0] = m10
     mom_ref[k, 1] = m01
-    desc_ref[k, :] = packed
+    desc_ref[k, :] = word.reshape(8).astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -162,37 +141,31 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
     """
     h, w = raw.shape
     kcount = ys.shape[0]
-    # pad the keypoint list to a multiple of the per-step batch
-    kpad = (-kcount) % KP_PER_STEP
-    if kpad:
-        ys = jnp.concatenate([ys, jnp.zeros((kpad,), ys.dtype)])
-        xs = jnp.concatenate([xs, jnp.zeros((kpad,), xs.dtype)])
-    ktot = kcount + kpad
     # pad width to a lane multiple with room for one full window
     wp = max(WIN_C, ((w + 127) // 128) * 128)
     if wp != w:
         raw = jnp.pad(raw, ((0, 0), (0, wp - w)))
         blur = jnp.pad(blur, ((0, 0), (0, wp - w)))
-    hp = max(h, WIN_R)
+    hp = max(((h + 7) // 8) * 8, WIN_R)
     if hp != h:
         raw = jnp.pad(raw, ((0, hp - h), (0, 0)))
         blur = jnp.pad(blur, ((0, hp - h), (0, 0)))
 
-    # pattern -> [512, 1] column layout, a-points then b-points
-    dx = jnp.concatenate([pattern[:, 0, 0], pattern[:, 1, 0]]).reshape(512, 1)
-    dy = jnp.concatenate([pattern[:, 0, 1], pattern[:, 1, 1]]).reshape(512, 1)
-    k10, k01 = _moment_kernels_padded()
+    # pattern -> [1, 512] lane layout, a-points then b-points
+    dx = jnp.concatenate([pattern[:, 0, 0], pattern[:, 1, 0]]).reshape(1, 512)
+    dy = jnp.concatenate([pattern[:, 0, 1], pattern[:, 1, 1]]).reshape(1, 512)
+    wlo, whi = _pack_weights()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(ktot // KP_PER_STEP,),
+        grid=(kcount,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # raw
             pl.BlockSpec(memory_space=pltpu.VMEM),  # blur
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k10
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # k01
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dx
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dy
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wlo
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whi
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # moments (scalar stores)
@@ -203,15 +176,15 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
         _kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((ktot, 2), jnp.float32),
-            jax.ShapeDtypeStruct((ktot, 8), jnp.uint32),
+            jax.ShapeDtypeStruct((kcount, 2), jnp.float32),
+            jax.ShapeDtypeStruct((kcount, 8), jnp.uint32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=ktot * 2 * 512 * WIN_R * WIN_C,
-            bytes_accessed=ktot * (2 * WIN_R * WIN_C * 4),
+            flops=kcount * 2 * WIN_R * WIN_C * 512,
+            bytes_accessed=kcount * (2 * WIN_R * WIN_C * 4),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ys, xs, raw, blur, jnp.asarray(k10), jnp.asarray(k01), dx, dy)
+    )(ys, xs, raw, blur, dx, dy, jnp.asarray(wlo), jnp.asarray(whi))
     angle = jnp.arctan2(mom[:kcount, 1], mom[:kcount, 0])
     return angle, desc[:kcount]
