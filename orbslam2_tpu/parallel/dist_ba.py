@@ -76,7 +76,7 @@ def _dist_lm_step(
     h_cc_d = h_cc + lam * ba._diag_only(h_cc) + 1e-8 * jnp.eye(6)
     h_pp_d = h_pp + lam * ba._diag_only(h_pp) + 1e-8 * jnp.eye(3)
     h_pp_d = jnp.where(pt_fixed[:, None, None], jnp.eye(3)[None], h_pp_d)
-    h_pp_inv = jnp.linalg.inv(h_pp_d)
+    h_pp_inv = ba._inv3x3(h_pp_d)  # closed form (see backend.ba._inv3x3)
     h_pp_inv = jnp.where(pt_fixed[:, None, None], 0.0, h_pp_inv)
     free = ~cam_fixed
 
