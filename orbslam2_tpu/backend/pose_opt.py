@@ -95,13 +95,41 @@ def _chi2(e: jax.Array, obs: PoseObs) -> jax.Array:
     return sq * obs.inv_sigma2
 
 
-@functools.partial(jax.jit, static_argnames=("cam", "rounds", "iters"))
+def _compact_obs(obs: PoseObs, cap: int) -> PoseObs:
+    """Gather the valid rows of a mostly-masked PoseObs into a [cap] set
+    (order-preserving; valid rows beyond cap are dropped).
+
+    The LM chain's per-iteration cost scales with the observation capacity
+    (measured on v5e: 0.30 ms at N=2048 vs 0.18 ms at N=1024 for the same
+    ~30% match rate), while a frame's matched count is far below the
+    keypoint capacity — so the latency-critical pose chain runs on the
+    compacted set and the final inlier classification is done on the full
+    set (which is also the reference's semantics: every edge is chi2-gated
+    after optimization, Optimizer.cc:478-500)."""
+    n = obs.valid.shape[0]
+    pos = jnp.cumsum(obs.valid.astype(jnp.int32)) - 1
+    slot = jnp.where(obs.valid & (pos < cap), pos, cap)
+    gather = jnp.full((cap + 1,), n, jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+    occupied = gather < n
+    take = jnp.minimum(gather, n - 1)
+    return PoseObs(
+        pts_w=obs.pts_w[take],
+        uv=obs.uv[take],
+        inv_sigma2=obs.inv_sigma2[take],
+        is_stereo=obs.is_stereo[take],
+        valid=occupied,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "rounds", "iters", "compact_cap"))
 def pose_optimization(
     tcw0: jax.Array,
     obs: PoseObs,
     cam: PinholeCamera,
     rounds: int = 4,
     iters: int = 10,
+    compact_cap: int | None = 1024,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """-> (tcw, inlier_mask [N] bool, n_inliers int32).
 
@@ -109,7 +137,15 @@ def pose_optimization(
     steps on the current inlier set, then reclassifies inliers by chi2
     against 5.991/7.815; the Huber kernel is active for the first two
     rounds only (Optimizer.cc:428-503).
+
+    When the observation capacity exceeds ``compact_cap``, the LM rounds
+    run on a compacted copy of the valid rows (see _compact_obs); the
+    returned inlier mask is always the full-capacity chi2 classification
+    at the final pose.
     """
+    obs_full = obs
+    if compact_cap is not None and obs.valid.shape[0] > compact_cap:
+        obs = _compact_obs(obs, compact_cap)
     delta_mono = jnp.sqrt(CHI2_MONO)
     delta_stereo = jnp.sqrt(CHI2_STEREO)
     chi2_th = jnp.where(obs.is_stereo, CHI2_STEREO, CHI2_MONO)
@@ -177,6 +213,13 @@ def pose_optimization(
         e, z = _residual_only(tcw, obs, cam)
         c = _chi2(e, obs)
         inlier = obs.valid & (c <= chi2_th) & (z > 1e-6)
+    # final inlier classification on the FULL observation set (identical to
+    # the in-loop one when nothing was compacted away)
+    if obs_full is not obs:
+        chi2_th_full = jnp.where(obs_full.is_stereo, CHI2_STEREO, CHI2_MONO)
+        e, z = _residual_only(tcw, obs_full, cam)
+        c = _chi2(e, obs_full)
+        inlier = obs_full.valid & (c <= chi2_th_full) & (z > 1e-6)
     return tcw, inlier, jnp.sum(inlier.astype(jnp.int32))
 
 

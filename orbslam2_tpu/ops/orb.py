@@ -180,36 +180,53 @@ def _conv2d_full(img: jax.Array, kernel: np.ndarray) -> jax.Array:
     return y[0, 0]
 
 
-def fast_response(img: jax.Array, threshold: float) -> Tuple[jax.Array, jax.Array]:
-    """FAST 9/16 corner test over the whole image.
+def _arc9(mask16: jax.Array) -> jax.Array:
+    """[16, H, W] bool circle masks -> [H, W] bool: any contiguous arc >= 9."""
+    # pack 16 bools -> uint32 bitmask per pixel, duplicate for wraparound
+    weights = (1 << np.arange(16, dtype=np.uint32)).astype(np.uint32)
+    m = jnp.sum(mask16.astype(jnp.uint32) * weights[:, None, None], axis=0)
+    m = m | (m << np.uint32(16))
+    # contiguous run >= 9 via AND-shift doubling
+    s = m & (m >> np.uint32(1))     # runs >= 2
+    s = s & (s >> np.uint32(2))     # >= 4
+    s = s & (s >> np.uint32(4))     # >= 8
+    s = s & (m >> np.uint32(8))     # >= 9
+    return (s & jnp.uint32(0xFFFF)) != 0
 
-    Returns (is_corner [H, W] bool, score [H, W] float32). Score is the sum
-    of circle differences beyond threshold for the dominant polarity.
+
+def fast_response_dual(
+    img: jax.Array, th_hi: float, th_lo: float
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """FAST 9/16 corner test at two thresholds over one shifted stack.
+
+    Returns (corner_hi, corner_lo [H, W] bool, score [H, W] float32); score
+    is the hi-threshold sum of circle differences beyond threshold for the
+    dominant polarity (used only for ranking). Computing both thresholds
+    from one [16, H, W] difference stack halves the memory traffic vs two
+    independent passes (the reference re-runs cv::FAST per cell at the low
+    threshold only when the high one found nothing, ORBextractor.cc:988-995;
+    here both maps are produced unconditionally and blended per cell).
     """
     shifted = jnp.stack(
         [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dy, dx in FAST_OFFSETS],
         axis=0,
     )  # [16, H, W]; shifted[i][y,x] = img[y+dy, x+dx]
     diff = shifted - img[None]
-    brighter = diff > threshold
-    darker = diff < -threshold
-
-    def arc9(mask16: jax.Array) -> jax.Array:
-        # pack 16 bools -> uint32 bitmask per pixel, duplicate for wraparound
-        weights = (1 << np.arange(16, dtype=np.uint32)).astype(np.uint32)
-        m = jnp.sum(mask16.astype(jnp.uint32) * weights[:, None, None], axis=0)
-        m = m | (m << np.uint32(16))
-        # contiguous run >= 9 via AND-shift doubling
-        s = m & (m >> np.uint32(1))     # runs >= 2
-        s = s & (s >> np.uint32(2))     # >= 4
-        s = s & (s >> np.uint32(4))     # >= 8
-        s = s & (m >> np.uint32(8))     # >= 9
-        return (s & jnp.uint32(0xFFFF)) != 0
-
-    corner = arc9(brighter) | arc9(darker)
-    score_b = jnp.sum(jnp.maximum(diff - threshold, 0.0), axis=0)
-    score_d = jnp.sum(jnp.maximum(-diff - threshold, 0.0), axis=0)
+    corner_hi = _arc9(diff > th_hi) | _arc9(diff < -th_hi)
+    corner_lo = _arc9(diff > th_lo) | _arc9(diff < -th_lo)
+    score_b = jnp.sum(jnp.maximum(diff - th_hi, 0.0), axis=0)
+    score_d = jnp.sum(jnp.maximum(-diff - th_hi, 0.0), axis=0)
     score = jnp.maximum(score_b, score_d)
+    return corner_hi, corner_lo, score
+
+
+def fast_response(img: jax.Array, threshold: float) -> Tuple[jax.Array, jax.Array]:
+    """FAST 9/16 corner test over the whole image.
+
+    Returns (is_corner [H, W] bool, score [H, W] float32). Score is the sum
+    of circle differences beyond threshold for the dominant polarity.
+    """
+    corner, _, score = fast_response_dual(img, threshold, threshold)
     return corner, score
 
 
@@ -303,8 +320,8 @@ class ORBExtractor:
         lh, lw = img.shape
         budget = self.level_budgets[level]
 
-        corner_hi, score = fast_response(img, c.ini_th_fast)
-        corner_lo, _ = fast_response(img, c.min_th_fast)
+        corner_hi, corner_lo, score = fast_response_dual(
+            img, c.ini_th_fast, c.min_th_fast)
 
         # border mask: keep full patches inside the image
         valid_region = jnp.zeros((lh, lw), dtype=bool)

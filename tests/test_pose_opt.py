@@ -94,3 +94,30 @@ class TestPoseOptimization:
 
         j_auto = jax.jacfwd(res_fn)(jnp.zeros(6))
         np.testing.assert_allclose(np.asarray(j), np.asarray(j_auto), atol=2e-2, rtol=1e-3)
+
+    def test_compaction_matches_full(self, rng):
+        # scatter 200 valid obs across a 2048-capacity set: the compacted
+        # LM chain must give the same pose and the same full-size inlier
+        # mask as running on the raw capacity
+        tcw_true, obs, _ = make_problem(rng, noise=0.3, outlier_frac=0.1)
+        cap = 2048
+        sel = np.sort(rng.choice(cap, size=200, replace=False))
+        big = pose_opt.PoseObs(
+            pts_w=jnp.zeros((cap, 3), jnp.float32).at[sel].set(obs.pts_w),
+            uv=jnp.zeros((cap, 3), jnp.float32).at[sel].set(obs.uv),
+            inv_sigma2=jnp.ones((cap,), jnp.float32),
+            is_stereo=jnp.zeros((cap,), bool),
+            valid=jnp.zeros((cap,), bool).at[sel].set(True),
+        )
+        tcw0 = se3.retract(tcw_true, jnp.asarray(rng.normal(size=6).astype(np.float32) * 0.05))
+        t_a, in_a, n_a = pose_opt.pose_optimization(tcw0, big, CAM, compact_cap=1024)
+        t_b, in_b, n_b = pose_opt.pose_optimization(tcw0, big, CAM, compact_cap=None)
+        assert pose_error(t_a, t_b) < 1e-5
+        assert int(n_a) == int(n_b)
+        np.testing.assert_array_equal(np.asarray(in_a), np.asarray(in_b))
+        # overflow: cap smaller than the valid count still returns a sane
+        # pose and classifies inliers over the full set
+        t_c, in_c, n_c = pose_opt.pose_optimization(tcw0, big, CAM, compact_cap=128)
+        assert pose_error(t_c, tcw_true) < 0.05
+        assert np.asarray(in_c).shape == (cap,)
+        assert int(n_c) > 150
