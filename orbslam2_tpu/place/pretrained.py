@@ -18,6 +18,7 @@ import numpy as np
 from orbslam2_tpu.place import vocabulary as voc_mod
 
 _CACHE = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l3.npz")
+_CACHE_LARGE = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l4.npz")
 
 
 def get_default_vocabulary(force_retrain: bool = False) -> voc_mod.Vocabulary:
@@ -27,6 +28,18 @@ def get_default_vocabulary(force_retrain: bool = False) -> voc_mod.Vocabulary:
     os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
     voc_mod.save_vocabulary(voc, _CACHE)
     return voc
+
+
+def get_large_vocabulary() -> voc_mod.Vocabulary:
+    """10k-word k=10 depth-4 tree (closer to the reference's k=10 depth-6
+    ORBvoc scale; trained by tools/train_large_voc.py on a diverse
+    synthetic corpus). Prefer this for long sequences with many keyframes,
+    where the 1k-word tree's BoW vectors saturate and loop/reloc candidate
+    discrimination degrades. Falls back to the small default if the large
+    artifact is missing."""
+    if os.path.exists(_CACHE_LARGE):
+        return voc_mod.load_vocabulary(_CACHE_LARGE)
+    return get_default_vocabulary()
 
 
 def _train_default() -> voc_mod.Vocabulary:

@@ -191,3 +191,26 @@ class TestEPnP:
         assert err < 0.05, err
         inl = np.asarray(res.inliers)
         assert inl[:n_out].mean() < 0.1
+
+
+class TestLargeVocabulary:
+    def test_large_vocab_loads_and_discriminates(self, rng):
+        """The shipped 10k-word k=10 depth-4 tree (tools/train_large_voc.py)
+        must load, transform, and rank a same-place view above a
+        different-place view by BoW L1 score."""
+        from orbslam2_tpu.place.pretrained import get_large_vocabulary
+
+        voc = get_large_vocabulary()
+        assert voc.n_words >= 1000  # falls back to small if artifact missing
+        # three synthetic descriptor "views": A, A-perturbed, B
+        base = rng.integers(0, 2, size=(300, 256)).astype(np.uint8)
+        pert = base.copy()
+        flip = rng.uniform(size=pert.shape) < 0.02
+        pert[flip] ^= 1
+        other = rng.integers(0, 2, size=(300, 256)).astype(np.uint8)
+        valid = np.ones(300, bool)
+        ids_a = np.asarray(voc.transform_packed(pack_bits(jnp.asarray(base)), valid))
+        ids_p = np.asarray(voc.transform_packed(pack_bits(jnp.asarray(pert)), valid))
+        ids_b = np.asarray(voc.transform_packed(pack_bits(jnp.asarray(other)), valid))
+        va, vp, vb = voc.bow_vector(ids_a), voc.bow_vector(ids_p), voc.bow_vector(ids_b)
+        assert voc.score_l1(va, vp) > 2.0 * voc.score_l1(va, vb)
