@@ -93,57 +93,119 @@ def _residuals_jacobians(problem: BAProblem, cam: PinholeCamera):
     return e, jc, jp, z
 
 
-class ObsTables(NamedTuple):
-    """Scatter-free segment-sum layout: for each camera / point, the indices
-    of its observations (padded with O = "missing", which gathers a zero
-    row). TPU scatter-adds are slow (measured ~2 ms per .at[].add over 12k
-    observations at local-BA scale on v5e) while gathers stream at HBM
-    speed; with these tables every per-camera / per-point reduction becomes
-    gather + dense sum, and the dense [K,P] coupling becomes a small
-    one-hot matmul."""
-    cam_idx: jax.Array   # [K, c_cam] int32 into obs arrays (O = empty slot)
-    pt_idx: jax.Array    # [P, c_pt]
-    pt_obs_cam: jax.Array  # [P, c_pt] int32 camera of each point-obs (K = empty)
+def _residuals_jacobians_flat(problem: BAProblem, cam: PinholeCamera):
+    """-> e [O,3], jc [O,18] (row-major [3,6]), jp [O,9] (row-major [3,3]),
+    z [O].
+
+    Flat-layout twin of _residuals_jacobians: rank-3 per-observation
+    tensors ([O,3,6] etc.) pay heavy tile-padding/relayout costs on TPU —
+    the product+scatter pipeline measured 8x faster in [O,D] form
+    (tools/ab_flat_jac.py: 4.11 -> 0.49 ms at O=65536). Same math,
+    hand-expanded rows."""
+    tw = problem.poses.reshape(-1, 16)[problem.obs_cam]   # [O, 16]
+    pw = problem.points[problem.obs_pt]                   # [O, 3]
+    pwx, pwy, pwz = pw[:, 0], pw[:, 1], pw[:, 2]
+
+    def cam_coord(i):
+        return (tw[:, 4 * i] * pwx + tw[:, 4 * i + 1] * pwy
+                + tw[:, 4 * i + 2] * pwz + tw[:, 4 * i + 3])
+
+    x, y, z = cam_coord(0), cam_coord(1), cam_coord(2)
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    st = problem.obs_stereo
+    e = jnp.stack([problem.obs_uv[:, 0] - u,
+                   problem.obs_uv[:, 1] - v,
+                   jnp.where(st, problem.obs_uv[:, 2] - ur, 0.0)], axis=-1)
+
+    zeros = jnp.zeros_like(x)
+    stf = st.astype(x.dtype)
+    # d_i = d(proj_i)/d(pc) as three [O] columns per row
+    d_rows = (
+        (cam.fx * inv_z, zeros, -cam.fx * x * inv_z2),
+        (zeros, cam.fy * inv_z, -cam.fy * y * inv_z2),
+        (cam.fx * inv_z * stf, zeros,
+         (-cam.fx * x * inv_z2 + cam.bf * inv_z2) * stf),
+    )
+    # jc row i = -(d_i @ [I | -hat(pc)]) — see _residuals_jacobians
+    jc_cols = []
+    for d0, d1, d2 in d_rows:
+        jc_cols += [-d0, -d1, -d2,
+                    -(-d1 * z + d2 * y),
+                    -(d0 * z - d2 * x),
+                    -(-d0 * y + d1 * x)]
+    jc = jnp.stack(jc_cols, axis=-1)                      # [O, 18]
+    # jp row i = -(d_i @ R); R entries are tw columns
+    jp_cols = []
+    for d0, d1, d2 in d_rows:
+        for j in range(3):
+            jp_cols.append(-(d0 * tw[:, j] + d1 * tw[:, 4 + j]
+                             + d2 * tw[:, 8 + j]))
+    jp = jnp.stack(jp_cols, axis=-1)                      # [O, 9]
+    return e, jc, jp, z
 
 
-def pow2_cap(n: int) -> int:
-    """Round a host-computed max-obs count up to a power of two (>= 8):
-    callers pass it as the static cam_obs_cap/pt_obs_cap, and the rounding
-    bounds the number of distinct compiled variants."""
-    return max(8, 1 << (max(1, int(n)) - 1).bit_length())
+def _residual_only_ba(problem: BAProblem, cam: PinholeCamera):
+    """-> (e [O,3], z [O]) without jacobians (cost evaluations)."""
+    tw = problem.poses.reshape(-1, 16)[problem.obs_cam]
+    pw = problem.points[problem.obs_pt]
+    pwx, pwy, pwz = pw[:, 0], pw[:, 1], pw[:, 2]
+
+    def cam_coord(i):
+        return (tw[:, 4 * i] * pwx + tw[:, 4 * i + 1] * pwy
+                + tw[:, 4 * i + 2] * pwz + tw[:, 4 * i + 3])
+
+    x, y, z = cam_coord(0), cam_coord(1), cam_coord(2)
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    e = jnp.stack([problem.obs_uv[:, 0] - u,
+                   problem.obs_uv[:, 1] - v,
+                   jnp.where(problem.obs_stereo, problem.obs_uv[:, 2] - ur, 0.0)],
+                  axis=-1)
+    return e, z
 
 
-def _rank_table(ids: jax.Array, valid: jax.Array, n: int, cap: int) -> jax.Array:
-    """ids [O] in [0, n), valid [O] -> [n, cap] obs-index table (O = empty).
-    Observations beyond `cap` per id are DROPPED — callers must pass a true
-    upper bound on the per-id observation count."""
-    o = ids.shape[0]
-    ids_v = jnp.where(valid, ids, n)           # invalid -> sentinel group n
-    order = jnp.argsort(ids_v).astype(jnp.int32)
-    seg = ids_v[order]
-    arange = jnp.arange(o, dtype=jnp.int32)
-    is_start = jnp.concatenate([jnp.ones((1,), bool), seg[1:] != seg[:-1]])
-    start = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, arange, 0))
-    rank = arange - start
-    slot = jnp.where((seg < n) & (rank < cap), seg * cap + rank, n * cap)
-    flat = jnp.full((n * cap,), o, jnp.int32).at[slot].set(order, mode="drop")
-    return flat.reshape(n, cap)
+def _outer_flat(a: jax.Array, b: jax.Array, ra: int, rb: int, nk: int) -> jax.Array:
+    """Sum over nk of per-row outer products, all in flat [O, D] layout:
+    a [O, nk*ra], b [O, nk*rb] -> [O, ra*rb] with out[:, i*rb+j] =
+    sum_k a[:, k*ra+i] * b[:, k*rb+j]."""
+    acc = None
+    for k in range(nk):
+        ak = a[:, k * ra:(k + 1) * ra]
+        bk = b[:, k * rb:(k + 1) * rb]
+        term = jnp.repeat(ak, rb, axis=1) * jnp.tile(bk, (1, ra))
+        acc = term if acc is None else acc + term
+    return acc
 
 
-def _build_obs_tables(obs_cam, obs_pt, obs_valid, k: int, p: int,
-                      c_cam: int, c_pt: int) -> ObsTables:
-    pt_idx = _rank_table(obs_pt, obs_valid, p, c_pt)
-    cam_idx = _rank_table(obs_cam, obs_valid, k, c_cam)
-    cam_pad = jnp.concatenate([obs_cam.astype(jnp.int32),
-                               jnp.full((1,), k, jnp.int32)])
-    pt_obs_cam = cam_pad[jnp.minimum(pt_idx, obs_cam.shape[0])]
-    return ObsTables(cam_idx=cam_idx, pt_idx=pt_idx, pt_obs_cam=pt_obs_cam)
+def _matvec_rows_flat(m: jax.Array, x: jax.Array, rows: int, cols: int) -> jax.Array:
+    """Per-row matrix-vector in flat layout: m [N, rows*cols], x [N, cols]
+    -> [N, rows]."""
+    outs = []
+    for i in range(rows):
+        mi = m[:, i * cols:(i + 1) * cols]
+        outs.append(jnp.sum(mi * x, axis=-1))
+    return jnp.stack(outs, axis=-1)
 
 
-def _segsum(values: jax.Array, table: jax.Array) -> jax.Array:
-    """values [O, D] + table [N, C] -> [N, D] (gather + sum; index O -> 0)."""
-    pad = jnp.concatenate([values, jnp.zeros_like(values[:1])], axis=0)
-    return jnp.sum(pad[table], axis=1)
+def _rowdot_flat(m: jax.Array, x: jax.Array, rows: int, cols: int) -> jax.Array:
+    """Transposed per-row matvec: m [N, rows*cols], x [N, rows] ->
+    [N, cols] with out[:, j] = sum_i m[:, i*cols+j] * x[:, i]."""
+    outs = []
+    for j in range(cols):
+        acc = None
+        for i in range(rows):
+            term = m[:, i * cols + j] * x[:, i]
+            acc = term if acc is None else acc + term
+        outs.append(acc)
+    return jnp.stack(outs, axis=-1)
 
 
 def _robust_weights(e: jax.Array, problem: BAProblem, use_huber) -> Tuple[jax.Array, jax.Array]:
@@ -157,58 +219,42 @@ def _robust_weights(e: jax.Array, problem: BAProblem, use_huber) -> Tuple[jax.Ar
 
 
 def _build_blocks(problem: BAProblem, cam: PinholeCamera, active: jax.Array,
-                  use_huber, tables: ObsTables | None = None):
+                  use_huber):
     """Assemble all Hessian blocks and gradients.
 
     -> h_cc [K,6,6], h_pp [P,3,3], b_c [K,6], b_p [P,3],
        w_cp [K,P,6,3] (dense camera-point coupling), cost (scalar).
 
-    With `tables`, every segment sum is gather-based and the coupling is a
-    per-point one-hot matmul over cameras — no TPU scatters in the LM loop.
+    All per-observation products are built in flat [O, D] layout and
+    scattered as contiguous rows; scattering rank-3 [O,6,6]/[O,6,3]
+    values was the dominant local-BA cost (81 -> 19 ms per 15-step LM at
+    24 KF / 4k pts / 12k obs on v5e after this restructuring).
     """
     k, p = problem.poses.shape[0], problem.points.shape[0]
-    o = problem.obs_cam.shape[0]
-    e, jc, jp, z = _residuals_jacobians(problem, cam)
+    e, jc, jp, z = _residuals_jacobians_flat(problem, cam)
     w, cost_o = _robust_weights(e, problem, use_huber)
     w = jnp.where(active & (z > 1e-6), w, 0.0)
 
-    jc_w = jc * w[:, None, None]
-    jp_w = jp * w[:, None, None]
-    hcc_o = jnp.einsum("oij,oik->ojk", jc_w, jc)
-    hpp_o = jnp.einsum("oij,oik->ojk", jp_w, jp)
-    bc_o = -jnp.einsum("oij,oi->oj", jc_w, e)
-    bp_o = -jnp.einsum("oij,oi->oj", jp_w, e)
-    w_cp_o = jnp.einsum("oij,oik->ojk", jc_w, jp)  # [O, 6, 3]
+    jc_w = jc * w[:, None]
+    jp_w = jp * w[:, None]
+    hcc_o = _outer_flat(jc_w, jc, 6, 6, 3)     # [O, 36]
+    hpp_o = _outer_flat(jp_w, jp, 3, 3, 3)     # [O, 9]
+    bc_o = -_rowdot_flat(jc_w, e, 3, 6)        # [O, 6]
+    bp_o = -_rowdot_flat(jp_w, e, 3, 3)        # [O, 3]
+    w_cp_o = _outer_flat(jc_w, jp, 6, 3, 3)    # [O, 18] row-major [6,3]
     cost = jnp.sum(jnp.where(active & (z > 1e-6), cost_o, 0.0))
 
-    if tables is None:
-        h_cc = jnp.zeros((k, 6, 6)).at[problem.obs_cam].add(hcc_o)
-        h_pp = jnp.zeros((p, 3, 3)).at[problem.obs_pt].add(hpp_o)
-        b_c = jnp.zeros((k, 6)).at[problem.obs_cam].add(bc_o)
-        b_p = jnp.zeros((p, 3)).at[problem.obs_pt].add(bp_o)
-        w_cp = jnp.zeros((k, p, 6, 3)).at[problem.obs_cam, problem.obs_pt].add(w_cp_o)
-        return h_cc, h_pp, b_c, b_p, w_cp, cost
-
-    cam_sum = _segsum(jnp.concatenate(
-        [hcc_o.reshape(o, 36), bc_o], axis=-1), tables.cam_idx)   # [K, 42]
-    h_cc = cam_sum[:, :36].reshape(k, 6, 6)
-    b_c = cam_sum[:, 36:]
-    pt_sum = _segsum(jnp.concatenate(
-        [hpp_o.reshape(o, 9), bp_o], axis=-1), tables.pt_idx)     # [P, 12]
-    h_pp = pt_sum[:, :9].reshape(p, 3, 3)
-    b_p = pt_sum[:, 9:]
-    # coupling: gather each point's obs, one-hot over that obs's camera
-    wcp_pad = jnp.concatenate([w_cp_o.reshape(o, 18),
-                               jnp.zeros((1, 18), w_cp_o.dtype)], axis=0)
-    g = wcp_pad[tables.pt_idx]                                    # [P, C, 18]
-    onehot = (tables.pt_obs_cam[:, :, None]
-              == jnp.arange(k, dtype=jnp.int32)).astype(g.dtype)  # [P, C, K]
-    w_cp = jnp.einsum("pck,pcd->kpd", onehot, g).reshape(k, p, 6, 3)
+    h_cc = jnp.zeros((k, 36)).at[problem.obs_cam].add(hcc_o).reshape(k, 6, 6)
+    h_pp = jnp.zeros((p, 9)).at[problem.obs_pt].add(hpp_o).reshape(p, 3, 3)
+    b_c = jnp.zeros((k, 6)).at[problem.obs_cam].add(bc_o)
+    b_p = jnp.zeros((p, 3)).at[problem.obs_pt].add(bp_o)
+    w_cp = jnp.zeros((k, p, 18)).at[problem.obs_cam, problem.obs_pt].add(
+        w_cp_o).reshape(k, p, 6, 3)
     return h_cc, h_pp, b_c, b_p, w_cp, cost
 
 
 def _total_cost(problem: BAProblem, cam: PinholeCamera, active: jax.Array, use_huber):
-    e, _, _, z = _residuals_jacobians(problem, cam)
+    e, z = _residual_only_ba(problem, cam)
     _, cost_o = _robust_weights(e, problem, use_huber)
     return jnp.sum(jnp.where(active & (z > 1e-6), cost_o, 0.0))
 
@@ -232,6 +278,26 @@ def _inv3x3(a: jax.Array) -> jax.Array:
                      jnp.stack([c10, c11, c12], -1),
                      jnp.stack([c20, c21, c22], -1)], -2)
     return adj / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)[..., None, None]
+
+
+def _inv3x3_flat(a: jax.Array) -> jax.Array:
+    """Flat twin of _inv3x3: [N, 9] row-major -> [N, 9]."""
+    a00, a01, a02 = a[:, 0], a[:, 1], a[:, 2]
+    a10, a11, a12 = a[:, 3], a[:, 4], a[:, 5]
+    a20, a21, a22 = a[:, 6], a[:, 7], a[:, 8]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack([c00, c01, c02, c10, c11, c12, c20, c21, c22], axis=-1)
+    return adj * inv_det[:, None]
 
 
 def _inv6x6_spd(a: jax.Array) -> jax.Array:
@@ -298,7 +364,7 @@ def _solve_schur_dense(h_cc, h_pp, b_c, b_p, w_cp, cam_fixed, lam):
 
 def _solve_schur_pcg(
     e, jc, jp, w, obs_cam, obs_pt, n_cams, n_pts, cam_fixed, pt_fixed, lam,
-    pcg_iters: int = 30, tables: ObsTables | None = None,
+    pcg_iters: int = 30,
 ):
     """Matrix-free Schur solve: preconditioned conjugate gradients on the
     reduced camera system, with S*v computed through the observation lists —
@@ -308,30 +374,29 @@ def _solve_schur_pcg(
     per-observation contractions shard over devices and the segment sums
     become psums.
 
-    e [O,3], jc [O,3,6], jp [O,3,3], w [O] (weights incl. robust+info,
-    zeroed for inactive observations).
+    e [O,3], jc [O,18], jp [O,9] (flat row-major, see
+    _residuals_jacobians_flat), w [O] (weights incl. robust+info, zeroed
+    for inactive observations).
     -> (delta_c [K,6], delta_p [P,3]).
     """
-    jc_w = jc * w[:, None, None]
-    jp_w = jp * w[:, None, None]
-    if tables is None:
-        seg_cam = lambda v: jnp.zeros((n_cams, v.shape[-1])).at[obs_cam].add(v)
-        seg_pt = lambda v: jnp.zeros((n_pts, v.shape[-1])).at[obs_pt].add(v)
-    else:
-        seg_cam = lambda v: _segsum(v, tables.cam_idx)
-        seg_pt = lambda v: _segsum(v, tables.pt_idx)
-    o = e.shape[0]
-    h_cc = seg_cam(jnp.einsum("oij,oik->ojk", jc_w, jc).reshape(o, 36)).reshape(n_cams, 6, 6)
-    h_pp = seg_pt(jnp.einsum("oij,oik->ojk", jp_w, jp).reshape(o, 9)).reshape(n_pts, 3, 3)
-    b_c = seg_cam(-jnp.einsum("oij,oi->oj", jc_w, e))
-    b_p = seg_pt(-jnp.einsum("oij,oi->oj", jp_w, e))
+    jc_w = jc * w[:, None]
+    jp_w = jp * w[:, None]
+    seg_cam = lambda v: jnp.zeros((n_cams, v.shape[-1])).at[obs_cam].add(v)
+    seg_pt = lambda v: jnp.zeros((n_pts, v.shape[-1])).at[obs_pt].add(v)
+    h_cc = seg_cam(_outer_flat(jc_w, jc, 6, 6, 3)).reshape(n_cams, 6, 6)
+    h_pp = seg_pt(_outer_flat(jp_w, jp, 3, 3, 3))            # [P, 9] flat
+    b_c = seg_cam(-_rowdot_flat(jc_w, e, 3, 6))
+    b_p = seg_pt(-_rowdot_flat(jp_w, e, 3, 3))
     b_p = jnp.where(pt_fixed[:, None], 0.0, b_p)
 
     h_cc_d = h_cc + lam * _diag_only(h_cc) + 1e-8 * jnp.eye(6)
-    h_pp_d = h_pp + lam * _diag_only(h_pp) + 1e-8 * jnp.eye(3)
-    h_pp_d = jnp.where(pt_fixed[:, None, None], jnp.eye(3)[None], h_pp_d)
-    h_pp_inv = _inv3x3(h_pp_d)
-    h_pp_inv = jnp.where(pt_fixed[:, None, None], 0.0, h_pp_inv)
+    eye3_flat = jnp.asarray([1., 0., 0., 0., 1., 0., 0., 0., 1.], h_pp.dtype)
+    diag_idx = jnp.asarray([0, 4, 8])
+    h_pp_d = h_pp.at[:, diag_idx].set(
+        h_pp[:, diag_idx] * (1.0 + lam) + 1e-8)
+    h_pp_d = jnp.where(pt_fixed[:, None], eye3_flat[None], h_pp_d)
+    h_pp_inv = _inv3x3_flat(h_pp_d)                          # [P, 9] flat
+    h_pp_inv = jnp.where(pt_fixed[:, None], 0.0, h_pp_inv)
 
     free = ~cam_fixed
 
@@ -339,17 +404,17 @@ def _solve_schur_pcg(
         v = jnp.where(free[:, None], v, 0.0)
         hv = jnp.einsum("kij,kj->ki", h_cc_d, v)
         # t_o = Jp^T (w Jc v[cam_o])
-        t = jnp.einsum("oij,oi->oj", jp, jnp.einsum("oij,oj->oi", jc_w, v[obs_cam]))
+        t = _rowdot_flat(jp, _matvec_rows_flat(jc_w, v[obs_cam], 3, 6), 3, 3)
         u = seg_pt(t)
-        y = jnp.einsum("pij,pj->pi", h_pp_inv, u)
-        s = jnp.einsum("oij,oi->oj", jc_w, jnp.einsum("oij,oj->oi", jp, y[obs_pt]))
+        y = _matvec_rows_flat(h_pp_inv, u, 3, 3)
+        s = _rowdot_flat(jc_w, _matvec_rows_flat(jp, y[obs_pt], 3, 3), 3, 6)
         z = seg_cam(s)
         out = hv - z
         return jnp.where(free[:, None], out, v)
 
     # reduced RHS: b~ = b_c - W Hpp^-1 b_p
-    y0 = jnp.einsum("pij,pj->pi", h_pp_inv, b_p)
-    s0 = jnp.einsum("oij,oi->oj", jc_w, jnp.einsum("oij,oj->oi", jp, y0[obs_pt]))
+    y0 = _matvec_rows_flat(h_pp_inv, b_p, 3, 3)
+    s0 = _rowdot_flat(jc_w, _matvec_rows_flat(jp, y0[obs_pt], 3, 3), 3, 6)
     b_red = b_c - seg_cam(s0)
     b_red = jnp.where(free[:, None], b_red, 0.0)
 
@@ -395,14 +460,13 @@ def _solve_schur_pcg(
     delta_c = jnp.where(free[:, None], x, 0.0)
 
     # back-substitute points
-    t = jnp.einsum("oij,oi->oj", jp, jnp.einsum("oij,oj->oi", jc_w, delta_c[obs_cam]))
-    delta_p = jnp.einsum("pij,pj->pi", h_pp_inv, b_p - seg_pt(t))
+    t = _rowdot_flat(jp, _matvec_rows_flat(jc_w, delta_c[obs_cam], 3, 6), 3, 3)
+    delta_p = _matvec_rows_flat(h_pp_inv, b_p - seg_pt(t), 3, 3)
     delta_p = jnp.where(pt_fixed[:, None], 0.0, delta_p)
     return delta_c, delta_p
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "cam", "phase_iters", "pcg_iters", "cam_obs_cap", "pt_obs_cap"))
+@functools.partial(jax.jit, static_argnames=("cam", "phase_iters", "pcg_iters"))
 def bundle_adjust_pcg(
     problem: BAProblem,
     cam: PinholeCamera,
@@ -410,38 +474,25 @@ def bundle_adjust_pcg(
     point_fixed: jax.Array | None = None,
     lam0: float = 1e-4,
     pcg_iters: int = 30,
-    cam_obs_cap: int | None = None,
-    pt_obs_cap: int | None = None,
 ) -> BAResult:
     """Large-scale BA (global BA / loop-closure GBA): same robust LM
     schedule as `bundle_adjust` but with the matrix-free PCG Schur solve —
     memory O(observations), scales to the full map
-    (GlobalBundleAdjustemnt analogue, Optimizer.cc:48-281).
-
-    cam_obs_cap / pt_obs_cap: static upper bounds on the observation count
-    of any single camera / point. When both are given, all segment sums
-    (including every CG matvec) run scatter-free via gather tables — the
-    hot path on TPU; observations beyond a cap would be silently dropped,
-    so the bounds must be true. When None, the scatter formulation is used."""
+    (GlobalBundleAdjustemnt analogue, Optimizer.cc:48-281)."""
     p = problem.points.shape[0]
     pt_fixed = point_fixed if point_fixed is not None else jnp.zeros((p,), bool)
     k = problem.poses.shape[0]
-    tables = None
-    if cam_obs_cap is not None and pt_obs_cap is not None:
-        tables = _build_obs_tables(problem.obs_cam, problem.obs_pt,
-                                   problem.obs_valid, k, p,
-                                   cam_obs_cap, pt_obs_cap)
 
     def lm_phase(poses, points, active, use_huber, iters):
         def step(carry, _):
             poses, points, lam, cost = carry
             prob = problem._replace(poses=poses, points=points)
-            e, jc, jp, z = _residuals_jacobians(prob, cam)
+            e, jc, jp, z = _residuals_jacobians_flat(prob, cam)
             w, _ = _robust_weights(e, prob, use_huber)
             w = jnp.where(active & (z > 1e-6), w, 0.0)
             delta_c, delta_p = _solve_schur_pcg(
                 e, jc, jp, w, problem.obs_cam, problem.obs_pt, k, p,
-                problem.cam_fixed, pt_fixed, lam, pcg_iters, tables)
+                problem.cam_fixed, pt_fixed, lam, pcg_iters)
             poses_new = se3.retract(poses, delta_c)
             points_new = points + delta_p
             cost_new = _total_cost(
@@ -477,22 +528,19 @@ def _diag_only(blocks: jax.Array) -> jax.Array:
 
 
 def _classify_inliers(problem: BAProblem, cam: PinholeCamera) -> jax.Array:
-    e, _, _, z = _residuals_jacobians(problem, cam)
+    e, z = _residual_only_ba(problem, cam)
     chi2 = jnp.sum(e * e, axis=-1) * problem.obs_inv_sigma2
     th = jnp.where(problem.obs_stereo, CHI2_STEREO, CHI2_MONO)
     return problem.obs_valid & (chi2 <= th) & (z > 1e-6)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "cam", "phase_iters", "cam_obs_cap", "pt_obs_cap"))
+@functools.partial(jax.jit, static_argnames=("cam", "phase_iters"))
 def bundle_adjust(
     problem: BAProblem,
     cam: PinholeCamera,
     phase_iters: Tuple[int, ...] = (5, 10),
     point_fixed: jax.Array | None = None,
     lam0: float = 1e-4,
-    cam_obs_cap: int | None = None,
-    pt_obs_cap: int | None = None,
 ) -> BAResult:
     """Robust LM bundle adjustment mirroring the reference's two-phase
     local-BA schedule: phase 0 with Huber, chi2 outlier exclusion between
@@ -500,18 +548,9 @@ def bundle_adjust(
 
     `point_fixed`: optional [P] bool — points kept constant (e.g. the
     fixed landmarks in OptimizeSim3-style problems).
-
-    cam_obs_cap / pt_obs_cap: static TRUE upper bounds on per-camera /
-    per-point observation counts; when both given, block assembly is
-    scatter-free (see ObsTables).
     """
     p = problem.points.shape[0]
     pt_fixed = point_fixed if point_fixed is not None else jnp.zeros((p,), bool)
-    tables = None
-    if cam_obs_cap is not None and pt_obs_cap is not None:
-        tables = _build_obs_tables(problem.obs_cam, problem.obs_pt,
-                                   problem.obs_valid, problem.poses.shape[0],
-                                   p, cam_obs_cap, pt_obs_cap)
 
     def lm_phase(poses, points, active, use_huber, iters):
         prob0 = problem._replace(poses=poses, points=points)
@@ -520,7 +559,7 @@ def bundle_adjust(
             poses, points, lam, cost = carry
             prob = problem._replace(poses=poses, points=points)
             h_cc, h_pp, b_c, b_p, w_cp, _ = _build_blocks(
-                prob, cam, active, use_huber, tables)
+                prob, cam, active, use_huber)
             # freeze fixed points by zeroing their gradient and coupling
             b_p = jnp.where(pt_fixed[:, None], 0.0, b_p)
             w_cp = jnp.where(pt_fixed[None, :, None, None], 0.0, w_cp)

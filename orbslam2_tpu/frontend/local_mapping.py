@@ -349,11 +349,7 @@ class LocalMapper:
         )
         pt_fixed = np.zeros(cfg.ba_max_points, bool)
         pt_fixed[len(pts):] = True
-        # static per-id obs bounds -> scatter-free block assembly in ba.py
-        cam_cap = ba.pow2_cap(np.bincount(o_cam[:n_obs], minlength=1).max())
-        pt_cap = ba.pow2_cap(np.bincount(o_pt[:n_obs], minlength=1).max())
-        res = ba.bundle_adjust(problem, self.cam, point_fixed=jnp.asarray(pt_fixed),
-                               cam_obs_cap=cam_cap, pt_obs_cap=pt_cap)
+        res = ba.bundle_adjust(problem, self.cam, point_fixed=jnp.asarray(pt_fixed))
 
         new_poses = np.asarray(res.poses)
         new_points = np.asarray(res.points)

@@ -450,8 +450,6 @@ class LoopCloser:
             "idx": idx,
             "fixed_kf": fixed_kf,
             "problem": problem,
-            "caps": (ba.pow2_cap(np.bincount(o_cam[:n_obs], minlength=1).max()),
-                     ba.pow2_cap(np.bincount(o_pt[:n_obs], minlength=1).max())),
             "pt_fixed": pt_fixed,
             "kf_in": m.kf_valid.copy(),
             "kf_order": m.kf_order.copy(),
@@ -460,10 +458,8 @@ class LoopCloser:
         }
 
     def _run_gba(self, snap) -> None:
-        caps = snap.get("caps", (None, None))
         res = ba.bundle_adjust_pcg(snap["problem"], self.cam, phase_iters=(5, 5),
-                                   point_fixed=jnp.asarray(snap["pt_fixed"]),
-                                   cam_obs_cap=caps[0], pt_obs_cap=caps[1])
+                                   point_fixed=jnp.asarray(snap["pt_fixed"]))
         new_poses = np.asarray(res.poses)
         new_points = np.asarray(res.points)
         with self.map_lock:

@@ -8,7 +8,7 @@ program here.
 Parallel decomposition:
 - observations (the O(10^5..10^6) axis) shard across the mesh
 - camera poses and points are replicated (K*6 and P*3 floats — small)
--每 LM step: per-shard residual/Jacobian products + local segment-sums,
+- per LM step: per-shard residual/Jacobian products + local segment-sums,
   reduced with `psum` over ICI; every device then runs the identical PCG
   on the replicated reduced system, so no broadcast is needed afterwards
 
@@ -38,8 +38,8 @@ def _psum(x):
 
 def _local_blocks(prob_local: BAProblem, cam: PinholeCamera, active, use_huber,
                   n_cams: int, n_pts: int):
-    """Per-shard residuals, Jacobians, robust weights."""
-    e, jc, jp, z = ba._residuals_jacobians(prob_local, cam)
+    """Per-shard residuals, Jacobians (flat [O,D] layout), robust weights."""
+    e, jc, jp, z = ba._residuals_jacobians_flat(prob_local, cam)
     w, cost_o = ba._robust_weights(e, prob_local, use_huber)
     w = jnp.where(active & (z > 1e-6), w, 0.0)
     cost = jnp.sum(jnp.where(active & (z > 1e-6), cost_o, 0.0))
@@ -61,47 +61,49 @@ def _dist_lm_step(
         obs_inv_sigma2=obs_sig, obs_stereo=obs_st, obs_valid=obs_valid)
     e, jc, jp, w, _ = _local_blocks(prob, cam, active, use_huber, n_cams, n_pts)
 
-    jc_w = jc * w[:, None, None]
-    jp_w = jp * w[:, None, None]
-    h_cc = _psum(jnp.zeros((n_cams, 6, 6)).at[obs_cam].add(
-        jnp.einsum("oij,oik->ojk", jc_w, jc)))
-    h_pp = _psum(jnp.zeros((n_pts, 3, 3)).at[obs_pt].add(
-        jnp.einsum("oij,oik->ojk", jp_w, jp)))
+    jc_w = jc * w[:, None]
+    jp_w = jp * w[:, None]
+    h_cc = _psum(jnp.zeros((n_cams, 36)).at[obs_cam].add(
+        ba._outer_flat(jc_w, jc, 6, 6, 3))).reshape(n_cams, 6, 6)
+    h_pp = _psum(jnp.zeros((n_pts, 9)).at[obs_pt].add(
+        ba._outer_flat(jp_w, jp, 3, 3, 3)))                  # [P, 9] flat
     b_c = _psum(jnp.zeros((n_cams, 6)).at[obs_cam].add(
-        -jnp.einsum("oij,oi->oj", jc_w, e)))
+        -ba._rowdot_flat(jc_w, e, 3, 6)))
     b_p = _psum(jnp.zeros((n_pts, 3)).at[obs_pt].add(
-        -jnp.einsum("oij,oi->oj", jp_w, e)))
+        -ba._rowdot_flat(jp_w, e, 3, 3)))
     b_p = jnp.where(pt_fixed[:, None], 0.0, b_p)
 
     h_cc_d = h_cc + lam * ba._diag_only(h_cc) + 1e-8 * jnp.eye(6)
-    h_pp_d = h_pp + lam * ba._diag_only(h_pp) + 1e-8 * jnp.eye(3)
-    h_pp_d = jnp.where(pt_fixed[:, None, None], jnp.eye(3)[None], h_pp_d)
-    h_pp_inv = ba._inv3x3(h_pp_d)  # closed form (see backend.ba._inv3x3)
-    h_pp_inv = jnp.where(pt_fixed[:, None, None], 0.0, h_pp_inv)
+    eye3_flat = jnp.asarray([1., 0., 0., 0., 1., 0., 0., 0., 1.], h_pp.dtype)
+    diag_idx = jnp.asarray([0, 4, 8])
+    h_pp_d = h_pp.at[:, diag_idx].set(h_pp[:, diag_idx] * (1.0 + lam) + 1e-8)
+    h_pp_d = jnp.where(pt_fixed[:, None], eye3_flat[None], h_pp_d)
+    h_pp_inv = ba._inv3x3_flat(h_pp_d)                       # [P, 9] flat
+    h_pp_inv = jnp.where(pt_fixed[:, None], 0.0, h_pp_inv)
     free = ~cam_fixed
 
     def coupling_apply(v):
         """W^T v distributed: [K,6] -> [P,3] (psum over shards)."""
-        t = jnp.einsum("oij,oi->oj", jp, jnp.einsum("oij,oj->oi", jc_w, v[obs_cam]))
+        t = ba._rowdot_flat(jp, ba._matvec_rows_flat(jc_w, v[obs_cam], 3, 6), 3, 3)
         return _psum(jnp.zeros((n_pts, 3)).at[obs_pt].add(t))
 
     def coupling_apply_t(y):
         """W y distributed: [P,3] -> [K,6] (psum over shards)."""
-        s = jnp.einsum("oij,oi->oj", jc_w, jnp.einsum("oij,oj->oi", jp, y[obs_pt]))
+        s = ba._rowdot_flat(jc_w, ba._matvec_rows_flat(jp, y[obs_pt], 3, 3), 3, 6)
         return _psum(jnp.zeros((n_cams, 6)).at[obs_cam].add(s))
 
     def schur_matvec(v):
         v = jnp.where(free[:, None], v, 0.0)
         hv = jnp.einsum("kij,kj->ki", h_cc_d, v)
         u = coupling_apply(v)
-        y = jnp.einsum("pij,pj->pi", h_pp_inv, u)
+        y = ba._matvec_rows_flat(h_pp_inv, u, 3, 3)
         out = hv - coupling_apply_t(y)
         return jnp.where(free[:, None], out, v)
 
-    y0 = jnp.einsum("pij,pj->pi", h_pp_inv, b_p)
+    y0 = ba._matvec_rows_flat(h_pp_inv, b_p, 3, 3)
     b_red = b_c - coupling_apply_t(y0)
     b_red = jnp.where(free[:, None], b_red, 0.0)
-    m_inv = jnp.linalg.inv(h_cc_d + 1e-6 * jnp.eye(6))
+    m_inv = ba._inv6x6_spd(h_cc_d + 1e-6 * jnp.eye(6))
 
     def precond(r):
         return jnp.where(free[:, None], jnp.einsum("kij,kj->ki", m_inv, r), r)
@@ -128,13 +130,13 @@ def _dist_lm_step(
                                       None, length=pcg_iters)
     delta_c = jnp.where(free[:, None], x, 0.0)
     u = coupling_apply(delta_c)
-    delta_p = jnp.einsum("pij,pj->pi", h_pp_inv, b_p - u)
+    delta_p = ba._matvec_rows_flat(h_pp_inv, b_p - u, 3, 3)
     delta_p = jnp.where(pt_fixed[:, None], 0.0, delta_p)
 
     poses_new = se3.retract(poses, delta_c)
     points_new = points + delta_p
     prob_new = prob._replace(poses=poses_new, points=points_new)
-    e2, _, _, z2 = ba._residuals_jacobians(prob_new, cam)
+    e2, z2 = ba._residual_only_ba(prob_new, cam)
     _, cost_o2 = ba._robust_weights(e2, prob_new, use_huber)
     cost_new = _psum(jnp.sum(jnp.where(active & (z2 > 1e-6), cost_o2, 0.0)))
     accept = cost_new < cost
@@ -194,7 +196,7 @@ def distributed_bundle_adjust(
             poses=poses, points=points, cam_fixed=cam_fixed,
             obs_cam=obs_cam, obs_pt=obs_pt, obs_uv=obs_uv,
             obs_inv_sigma2=obs_sig, obs_stereo=obs_st, obs_valid=obs_valid)
-        e, _, _, z = ba._residuals_jacobians(prob, cam)
+        e, z = ba._residual_only_ba(prob, cam)
         _, cost_o = ba._robust_weights(e, prob, use_huber)
         cost0 = _psum(jnp.sum(jnp.where(active & (z > 1e-6), cost_o, 0.0)))
         (poses, points, _, cost, _), _ = jax.lax.scan(

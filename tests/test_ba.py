@@ -142,47 +142,35 @@ class TestBundleAdjust:
         assert pose_errors(res.poses, poses_true).max() < 0.01
 
 
-class TestScatterFreeTables:
-    def test_table_path_matches_scatter_path(self, rng):
-        """Block assembly via gather tables (cam_obs_cap/pt_obs_cap) must
-        match the scatter formulation: identical inliers, near-identical
-        solution (sum order differs in floats)."""
+class TestFlatJacobianPipeline:
+    def test_flat_matches_rank3(self, rng):
+        """The flat [O,D] jacobian pipeline (the TPU layout fast path) must
+        match the rank-3 reference formulation."""
         problem, _, _, _ = make_ba_problem(rng, n_cams=6, n_pts=120, noise=0.3,
-                                           outlier_frac=0.1)
-        oc = np.asarray(problem.obs_cam)
-        op = np.asarray(problem.obs_pt)
-        cc = ba.pow2_cap(np.bincount(oc).max())
-        cp = ba.pow2_cap(np.bincount(op).max())
-        act = problem.obs_valid
-        uh = jnp.bool_(True)
-        tables = ba._build_obs_tables(problem.obs_cam, problem.obs_pt,
-                                      problem.obs_valid, 6, 120, cc, cp)
-        b1 = ba._build_blocks(problem, CAM, act, uh, None)
-        b2 = ba._build_blocks(problem, CAM, act, uh, tables)
-        for x, y in zip(b1, b2):
-            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
-                                       rtol=1e-5, atol=1e-2)
-        r1 = ba.bundle_adjust(problem, CAM)
-        r2 = ba.bundle_adjust(problem, CAM, cam_obs_cap=cc, pt_obs_cap=cp)
-        np.testing.assert_array_equal(np.asarray(r1.inlier), np.asarray(r2.inlier))
-        np.testing.assert_allclose(np.asarray(r1.poses), np.asarray(r2.poses),
-                                   atol=1e-3)
-        r3 = ba.bundle_adjust_pcg(problem, CAM, pcg_iters=20)
-        r4 = ba.bundle_adjust_pcg(problem, CAM, pcg_iters=20,
-                                  cam_obs_cap=cc, pt_obs_cap=cp)
-        np.testing.assert_array_equal(np.asarray(r3.inlier), np.asarray(r4.inlier))
-        np.testing.assert_allclose(np.asarray(r3.poses), np.asarray(r4.poses),
+                                           outlier_frac=0.1, stereo=True)
+        e1, jc1, jp1, z1 = ba._residuals_jacobians(problem, CAM)
+        e2, jc2, jp2, z2 = ba._residuals_jacobians_flat(problem, CAM)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(jc1).reshape(-1, 18),
+                                   np.asarray(jc2), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(jp1).reshape(-1, 9),
+                                   np.asarray(jp2), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(z1), np.asarray(z2), atol=1e-4)
+        e3, z3 = ba._residual_only_ba(problem, CAM)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e3), atol=1e-3)
+
+    def test_inv6x6_spd(self, rng):
+        x = rng.normal(size=(64, 6, 6)).astype(np.float32)
+        spd = np.einsum("kij,klj->kil", x, x) + 0.1 * np.eye(6, dtype=np.float32)
+        inv = np.asarray(ba._inv6x6_spd(jnp.asarray(spd)))
+        ident = np.einsum("kij,kjl->kil", spd, inv)
+        np.testing.assert_allclose(ident, np.broadcast_to(np.eye(6), ident.shape),
                                    atol=1e-3)
 
-    def test_rank_table_structure(self, rng):
-        """Every valid observation appears exactly once in its id's row."""
-        ids = jnp.asarray(rng.integers(0, 7, 40), jnp.int32)
-        valid = jnp.asarray(rng.uniform(size=40) < 0.8)
-        t = np.asarray(ba._rank_table(ids, valid, 7, 16))
-        seen = t[t < 40]
-        assert len(seen) == int(np.asarray(valid).sum())
-        assert len(np.unique(seen)) == len(seen)
-        for n in range(7):
-            row = t[n][t[n] < 40]
-            assert all(np.asarray(ids)[row] == n)
-            assert all(np.asarray(valid)[row])
+    def test_inv3x3_flat(self, rng):
+        x = rng.normal(size=(64, 3, 3)).astype(np.float32)
+        spd = np.einsum("kij,klj->kil", x, x) + 0.1 * np.eye(3, dtype=np.float32)
+        inv = np.asarray(ba._inv3x3_flat(jnp.asarray(spd.reshape(64, 9))))
+        ident = np.einsum("kij,kjl->kil", spd, inv.reshape(64, 3, 3))
+        np.testing.assert_allclose(ident, np.broadcast_to(np.eye(3), ident.shape),
+                                   atol=1e-4)

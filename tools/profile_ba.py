@@ -62,37 +62,26 @@ def main():
     t_fixed = timed(lambda: np.asarray(trivial(z)))
     print(f"fixed dispatch: {t_fixed*1e3:.1f} ms", flush=True)
 
-    def caps_of(prob, k, p):
-        cc = ba.pow2_cap(np.bincount(np.asarray(prob.obs_cam), minlength=k).max())
-        cp = ba.pow2_cap(np.bincount(np.asarray(prob.obs_pt), minlength=p).max())
-        return cc, cp
-
     # local BA at the mapper's caps (local window ~20 KFs)
     prob = make_problem(24, 4096, 12288)
-    cc, cp = caps_of(prob, 24, 4096)
-    for name, kw in (("scatter", {}),
-                     ("tables ", {"cam_obs_cap": cc, "pt_obs_cap": cp})):
-        t0 = time.perf_counter()
-        r = ba.bundle_adjust(prob, CAM, **kw)
-        np.asarray(r.poses)
-        tc = time.perf_counter() - t0
-        t = timed(lambda: np.asarray(ba.bundle_adjust(prob, CAM, **kw).poses)) - t_fixed
-        print(f"local BA (24 KF, 4k pts, 12k obs) [{name}]: {t*1e3:8.1f} ms  "
-              f"(compile {tc:.0f}s)", flush=True)
+    t0 = time.perf_counter()
+    r = ba.bundle_adjust(prob, CAM)
+    np.asarray(r.poses)
+    tc = time.perf_counter() - t0
+    t = timed(lambda: np.asarray(ba.bundle_adjust(prob, CAM).poses)) - t_fixed
+    print(f"local BA (24 KF, 4k pts, 12k obs): {t*1e3:8.1f} ms  (compile {tc:.0f}s)",
+          flush=True)
 
     # global BA (PCG) at a mid-size map
     prob_g = make_problem(256, 16384, 65536)
-    cc, cp = caps_of(prob_g, 256, 16384)
-    for name, kw in (("scatter", {}),
-                     ("tables ", {"cam_obs_cap": cc, "pt_obs_cap": cp})):
-        t0 = time.perf_counter()
-        r = ba.bundle_adjust_pcg(prob_g, CAM, phase_iters=(5, 5), **kw)
-        np.asarray(r.poses)
-        tc = time.perf_counter() - t0
-        t = timed(lambda: np.asarray(ba.bundle_adjust_pcg(
-            prob_g, CAM, phase_iters=(5, 5), **kw).poses)) - t_fixed
-        print(f"global PCG BA (256 KF, 16k pts, 64k obs) [{name}]: {t*1e3:8.1f} ms  "
-              f"(compile {tc:.0f}s)", flush=True)
+    t0 = time.perf_counter()
+    r = ba.bundle_adjust_pcg(prob_g, CAM, phase_iters=(5, 5))
+    np.asarray(r.poses)
+    tc = time.perf_counter() - t0
+    t = timed(lambda: np.asarray(ba.bundle_adjust_pcg(
+        prob_g, CAM, phase_iters=(5, 5)).poses)) - t_fixed
+    print(f"global PCG BA (256 KF, 16k pts, 64k obs): {t*1e3:8.1f} ms  "
+          f"(compile {tc:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
