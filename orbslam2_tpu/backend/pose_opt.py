@@ -89,6 +89,43 @@ def _residual_jacobian(tcw: jax.Array, obs: PoseObs, cam: PinholeCamera):
     return e, j, z
 
 
+def _residual_jacobian_flat(tcw: jax.Array, obs: PoseObs, cam: PinholeCamera):
+    """-> (e [N,3], j [N,18] row-major [3,6], depth [N]).
+
+    Flat-layout twin of _residual_jacobian: rank-3 [N,3,6] tensors pay
+    trailing-dim tile padding/relayout on TPU (see backend.ba's flat
+    pipeline, tools/ab_flat_jac.py). Same math, hand-expanded rows."""
+    pc = se3.apply(tcw, obs.pts_w)
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z_safe = jnp.where(z > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+
+    u = cam.fx * x * inv_z + cam.cx
+    v = cam.fy * y * inv_z + cam.cy
+    ur = u - cam.bf * inv_z
+    st = obs.is_stereo
+    e = jnp.stack([obs.uv[:, 0] - u, obs.uv[:, 1] - v,
+                   jnp.where(st, obs.uv[:, 2] - ur, 0.0)], axis=-1)
+
+    zeros = jnp.zeros_like(x)
+    stf = st.astype(x.dtype)
+    d_rows = (
+        (cam.fx * inv_z, zeros, -cam.fx * x * inv_z2),
+        (zeros, cam.fy * inv_z, -cam.fy * y * inv_z2),
+        (cam.fx * inv_z * stf, zeros,
+         (-cam.fx * x * inv_z2 + cam.bf * inv_z2) * stf),
+    )
+    # row i of J = -(d_i @ [I | -hat(pc)]) — identical to _residual_jacobian
+    j_cols = []
+    for d0, d1, d2 in d_rows:
+        j_cols += [-d0, -d1, -d2,
+                   -(-d1 * z + d2 * y),
+                   -(d0 * z - d2 * x),
+                   -(-d0 * y + d1 * x)]
+    return e, jnp.stack(j_cols, axis=-1), z
+
+
 def _chi2(e: jax.Array, obs: PoseObs) -> jax.Array:
     """Per-observation chi-square with octave information scaling."""
     sq = jnp.sum(e * e, axis=-1)
@@ -173,17 +210,22 @@ def pose_optimization(
 
         def step(carry):
             i, tcw, lam, cost, _ = carry
-            e, j, z = _residual_jacobian(tcw, obs, cam)
+            e, j, z = _residual_jacobian_flat(tcw, obs, cam)
             c = _chi2(e, obs)
             delta = jnp.where(obs.is_stereo, delta_stereo, delta_mono)
             s = jnp.sqrt(jnp.maximum(c, 1e-12))
             w_huber = jnp.where(use_huber & (s > delta), delta / s, 1.0)
             w = obs.inv_sigma2 * w_huber
             w = jnp.where(inlier & obs.valid & (z > 1e-6), w, 0.0)
-            jw = j * w[:, None, None]
-            h = jnp.einsum("nij,nik->jk", jw, j)  # [6, 6]
-            # GN/LM step: delta = -H^-1 J^T W e (J is d(residual)/d(xi))
-            b = -jnp.einsum("nij,ni->j", jw, e)
+            jw = j * w[:, None]                   # [N, 18] flat
+            # H = sum_i Jw_i^T J_i, b = -sum_i Jw_i^T e_i over the 3
+            # residual rows — [6,N]@[N,6] MXU matmuls on flat slices
+            h = jnp.zeros((6, 6))
+            b = jnp.zeros((6,))
+            for r in range(3):
+                jw_r = jw[:, 6 * r:6 * r + 6]
+                h = h + jw_r.T @ j[:, 6 * r:6 * r + 6]
+                b = b - jw_r.T @ e[:, r]
             h_damped = h + lam * jnp.diag(jnp.diag(h)) + 1e-9 * jnp.eye(6)
             xi = jnp.linalg.solve(h_damped, b)
             tcw_new = se3.retract(tcw, xi)
