@@ -23,10 +23,17 @@ def from_srt(s: jax.Array, r: jax.Array, t: jax.Array) -> jax.Array:
     return se3.from_rt(s[..., None, None] * r, t)
 
 
+def _det3(m: jax.Array) -> jax.Array:
+    """Closed-form 3x3 determinant (jnp.linalg.det lowers to a batched LU
+    on TPU — orders of magnitude slower for [E,3,3] batches)."""
+    return (m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+            - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+            + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]))
+
+
 def scale(s_mat: jax.Array) -> jax.Array:
     """Recover the scale: |det(sR)|^(1/3) = s."""
-    sr = s_mat[..., :3, :3]
-    det = jnp.linalg.det(sr)
+    det = _det3(s_mat[..., :3, :3])
     return jnp.cbrt(jnp.maximum(det, _EPS))
 
 
@@ -124,5 +131,23 @@ def log(s_mat: jax.Array) -> jax.Array:
     kk = k @ k
     eye = jnp.broadcast_to(jnp.eye(3, dtype=s_mat.dtype), k.shape)
     w = a[..., None, None] * eye + b[..., None, None] * k + c[..., None, None] * kk
-    rho = jnp.linalg.solve(w, t[..., None])[..., 0]
+    # rho = W^-1 t via the closed-form adjugate (jnp.linalg.solve lowers to
+    # a batched LU on TPU — the dominant cost of per-edge pose-graph math)
+    c00 = w[..., 1, 1] * w[..., 2, 2] - w[..., 1, 2] * w[..., 2, 1]
+    c01 = w[..., 0, 2] * w[..., 2, 1] - w[..., 0, 1] * w[..., 2, 2]
+    c02 = w[..., 0, 1] * w[..., 1, 2] - w[..., 0, 2] * w[..., 1, 1]
+    c10 = w[..., 1, 2] * w[..., 2, 0] - w[..., 1, 0] * w[..., 2, 2]
+    c11 = w[..., 0, 0] * w[..., 2, 2] - w[..., 0, 2] * w[..., 2, 0]
+    c12 = w[..., 0, 2] * w[..., 1, 0] - w[..., 0, 0] * w[..., 1, 2]
+    c20 = w[..., 1, 0] * w[..., 2, 1] - w[..., 1, 1] * w[..., 2, 0]
+    c21 = w[..., 0, 1] * w[..., 2, 0] - w[..., 0, 0] * w[..., 2, 1]
+    c22 = w[..., 0, 0] * w[..., 1, 1] - w[..., 0, 1] * w[..., 1, 0]
+    det = w[..., 0, 0] * c00 + w[..., 0, 1] * c10 + w[..., 0, 2] * c20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    t0, t1, t2 = t[..., 0], t[..., 1], t[..., 2]
+    rho = jnp.stack([
+        (c00 * t0 + c01 * t1 + c02 * t2) * inv_det,
+        (c10 * t0 + c11 * t1 + c12 * t2) * inv_det,
+        (c20 * t0 + c21 * t1 + c22 * t2) * inv_det,
+    ], axis=-1)
     return jnp.concatenate([rho, phi, sigma[..., None]], axis=-1)
