@@ -19,8 +19,17 @@ computeOrbDescriptor cc:116-157) with ONE kernel that, per keypoint:
    (win[48,256] @ onehot_cols^T[256,512] in bfloat16 — one-hot selection
    of bf16-rounded pixels is exact) followed by a row-select masked
    reduction on the VPU; (rb, cb) shift the one-hot targets for free,
-4. packs the 256 comparison bits into 8 uint32 words via two exact f32
-   matmuls (bits @ weight halves, each half <= 2^16 so f32 is exact).
+4. stores the 256 comparison bits as one f32 row; the uint32 packing is a
+   single batched XLA pass over all keypoints after the kernel (v2 packed
+   in-kernel with two [1,256]x[256,8] matmuls per keypoint — M=1 MXU ops
+   whose issue latency was pure overhead at 2000 grid steps).
+
+The blurred image is VMEM-resident in bfloat16 (it is only consumed by the
+bf16 descriptor matmul, so nothing changes numerically and its VMEM
+footprint halves — headroom that matters at KITTI geometry). The raw image
+stays f32: computing the moments from bf16-rounded pixels was measured
+perf-neutral but costs up to ~0.1 rad of IC-angle noise on weak-moment
+keypoints (the angle is ill-conditioned there).
 
 Keypoint coordinates arrive via PrefetchScalarGridSpec so they are in SMEM
 before the body runs. The grid is one step per keypoint.
@@ -28,7 +37,6 @@ before the body runs. The grid is one step per keypoint.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,32 +53,19 @@ WIN_C = 256         # window cols: 31-col patch + 127 lanes of alignment
                     # keypoints respect EDGE_MARGIN >= 19
 
 
-def _pack_weights() -> Tuple[np.ndarray, np.ndarray]:
-    """[256, 8] f32 weight tables W[s, w] = 2^(s%16 [+16]) for s//32 == w:
-    bits @ Wlo (+ bits @ Whi << 16) packs 256 bits into 8 uint32 words with
-    every partial sum <= 2^16 - 1, hence exact in f32."""
-    wlo = np.zeros((256, 8), np.float32)
-    whi = np.zeros((256, 8), np.float32)
-    for s in range(256):
-        word, bit = s // 32, s % 32
-        if bit < 16:
-            wlo[s, word] = float(1 << bit)
-        else:
-            whi[s, word] = float(1 << (bit - 16))
-    return wlo, whi
-
-
 def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
-            wlo_ref, whi_ref, mom_ref, desc_ref):
+            mom_ref, bits_ref):
     k = pl.program_id(0)
     y = ys_ref[k]
     x = xs_ref[k]
     h = raw_ref.shape[0]
     wp = raw_ref.shape[1]
 
-    ya = jnp.clip(((y - HALF_PATCH) // 8) * 8, 0, h - WIN_R)
-    ya = pl.multiple_of(ya, 8)
-    rb = y - HALF_PATCH - ya                    # patch row offset, in [0, 13]
+    # 16-row alignment: the blur image is bf16 (sublane tile 16); the same
+    # start is trivially 8-aligned for the f32 raw image
+    ya = jnp.clip(((y - HALF_PATCH) // 16) * 16, 0, h - WIN_R)
+    ya = pl.multiple_of(ya, 16)
+    rb = y - HALF_PATCH - ya                    # patch row offset, in [0, 15]
     xa = jnp.clip(((x - HALF_PATCH) // 128) * 128, 0, wp - WIN_C)
     xa = pl.multiple_of(xa, 128)
     cb = x - HALF_PATCH - xa                    # patch col offset, in [0, 221]
@@ -107,7 +102,7 @@ def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
     # comparison bits. Explicit DEFAULT precision: the package-wide f32
     # matmul default would request an fp32 contraction on bf16 operands,
     # which Mosaic rejects.
-    win_blur = blur_ref[pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)].astype(jnp.bfloat16)
+    win_blur = blur_ref[pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, 512), 0)
     oh_ct = (cols_iota == col_t).astype(jnp.bfloat16)           # [256c, 512]
     tmp = jnp.dot(win_blur, oh_ct, preferred_element_type=jnp.float32,
@@ -116,17 +111,12 @@ def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
     vals = jnp.sum(jnp.where(rows_iota == row_t, tmp, 0.0), axis=0,
                    keepdims=True)                               # [1, 512]
 
-    # ---- pack bits: pattern lanes are [a_0..a_255, b_0..b_255] ----------
+    # ---- comparison bits: pattern lanes are [a_0..a_255, b_0..b_255] ----
     bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.float32)  # [1, 256]
-    lo = jnp.dot(bits, wlo_ref[:], preferred_element_type=jnp.float32)
-    hi = jnp.dot(bits, whi_ref[:], preferred_element_type=jnp.float32)
-    # combine in int32 (Mosaic lacks unsigned ops); hi << 16 wraps through
-    # the sign bit — two's complement keeps the uint32 bit pattern exact
-    word = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)  # [1, 8]
 
     mom_ref[k, 0] = m10
     mom_ref[k, 1] = m01
-    desc_ref[k, :] = word.reshape(8).astype(jnp.uint32)
+    bits_ref[k, :] = bits.reshape(256)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -141,12 +131,13 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
     """
     h, w = raw.shape
     kcount = ys.shape[0]
+    blur = blur.astype(jnp.bfloat16)
     # pad width to a lane multiple with room for one full window
     wp = max(WIN_C, ((w + 127) // 128) * 128)
     if wp != w:
         raw = jnp.pad(raw, ((0, 0), (0, wp - w)))
         blur = jnp.pad(blur, ((0, 0), (0, wp - w)))
-    hp = max(((h + 7) // 8) * 8, WIN_R)
+    hp = max(((h + 15) // 16) * 16, WIN_R)
     if hp != h:
         raw = jnp.pad(raw, ((0, hp - h), (0, 0)))
         blur = jnp.pad(blur, ((0, hp - h), (0, 0)))
@@ -154,7 +145,6 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
     # pattern -> [1, 512] lane layout, a-points then b-points
     dx = jnp.concatenate([pattern[:, 0, 0], pattern[:, 1, 0]]).reshape(1, 512)
     dy = jnp.concatenate([pattern[:, 0, 1], pattern[:, 1, 1]]).reshape(1, 512)
-    wlo, whi = _pack_weights()
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -164,27 +154,29 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # blur
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dx
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dy
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # wlo
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whi
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # moments (scalar stores)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # desc
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # comparison bits
         ),
     )
-    mom, desc = pl.pallas_call(
+    mom, bits = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((kcount, 2), jnp.float32),
-            jax.ShapeDtypeStruct((kcount, 8), jnp.uint32),
+            jax.ShapeDtypeStruct((kcount, 256), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=kcount * 2 * WIN_R * WIN_C * 512,
-            bytes_accessed=kcount * (2 * WIN_R * WIN_C * 4),
+            bytes_accessed=kcount * (WIN_R * WIN_C * (4 + 2)),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ys, xs, raw, blur, dx, dy, jnp.asarray(wlo), jnp.asarray(whi))
+    )(ys, xs, raw, blur, dx, dy)
     angle = jnp.arctan2(mom[:kcount, 1], mom[:kcount, 0])
-    return angle, desc[:kcount]
+    # batched uint32 packing: one whole-array pass instead of per-keypoint
+    # M=1 matmuls inside the kernel
+    from orbslam2_tpu.ops.orb import pack_bits
+    desc = pack_bits(bits[:kcount].astype(jnp.uint32))
+    return angle, desc

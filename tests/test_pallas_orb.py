@@ -58,9 +58,9 @@ def test_fused_kernel_matches_xla_path(setup):
     # angles: same moments up to f32 summation order
     d = np.abs(np.arctan2(np.sin(ang - ang_ref), np.cos(ang - ang_ref)))
     assert d.max() < 1e-3, d.max()
-    # descriptors: the XLA path samples bf16-rounded pixels while the
-    # kernel samples f32, so near-tie pairs may flip; plus one-pixel
-    # rounding flips from the tiny angle delta. A handful of bits of 256.
+    # descriptors: both paths sample bf16-rounded pixels, so only
+    # summation-order near-ties and one-pixel rounding flips differ.
+    # A handful of bits of 256.
     ham = np.asarray(jnp.sum(jnp.asarray(
         np.unpackbits((desc ^ desc_ref).view(np.uint8), axis=1)), axis=1))
     assert np.median(ham) <= 4, ham
