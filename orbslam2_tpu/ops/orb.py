@@ -148,7 +148,14 @@ def _separable_conv(img: jax.Array, k1d: np.ndarray) -> jax.Array:
         kt = tuple(float(v) for v in k1d)
         b_col = jnp.asarray(_banded_matrix(h, kt))
         b_row = jnp.asarray(_banded_matrix(w, kt))
-        return b_col @ img @ b_row.T
+        # single-pass bf16 MXU (the package-wide f32 matmul default costs
+        # 3 passes): the kernel weights sum to 1, so the bf16 error is
+        # < ~1 gray level — below the bf16 rounding the descriptor and
+        # SAD consumers already apply to the blurred image (measured
+        # 1.47 -> 1.39 ms/frame full extraction on v5e).
+        dot = functools.partial(jnp.matmul,
+                                precision=jax.lax.Precision.DEFAULT)
+        return dot(dot(b_col, img), b_row.T)
     r = (len(k1d) - 1) // 2
     kv = jnp.asarray(k1d)
     x = img[None, None]  # NCHW
@@ -251,12 +258,11 @@ def _nms3(score: jax.Array) -> jax.Array:
     return score >= neigh
 
 
-def _cell_any(mask: jax.Array, cell: int) -> jax.Array:
-    """Per-cell OR, broadcast back to pixel resolution. H, W must be padded
-    to multiples of cell by the caller."""
-    h, w = mask.shape
-    m = mask.reshape(h // cell, cell, w // cell, cell).any(axis=(1, 3))
-    return jnp.repeat(jnp.repeat(m, cell, axis=0), cell, axis=1)
+# Rank bias marking hi-threshold FAST survivors through the cell-space
+# blend: well above any achievable FAST score (<= 16 * 255), and low
+# enough that (score + _HI_BIAS) - _HI_BIAS round-trips with < 0.01
+# quantization in f32 (scores are only ranks).
+_HI_BIAS = 65536.0
 
 
 class ORBExtractor:
@@ -330,31 +336,45 @@ class ORBExtractor:
         corner_hi = corner_hi & valid_region
         corner_lo = corner_lo & valid_region
 
+        # NMS per threshold set (pixel layout, reduce_window only). The
+        # reference NMSes the per-cell blended set; running it per
+        # threshold differs only in cross-cell suppression at hi/lo cell
+        # borders — a boundary heuristic, not a semantic change.
+        keep_hi = corner_hi & _nms3(jnp.where(corner_hi, score, -jnp.inf))
+        keep_lo = corner_lo & _nms3(jnp.where(corner_lo, score, -jnp.inf))
+
+        # dual-threshold fallback per cell (ORBextractor.cc:988-995),
+        # resolved in CELL space with a single blocked relayout: hi
+        # survivors carry score + _HI_BIAS, cells whose max crosses the
+        # bias keep only hi rows (v1 used a per-cell any + broadcast back
+        # to pixels — two extra full relayouts per level).
+        enc = jnp.where(keep_hi, score + _HI_BIAS,
+                        jnp.where(keep_lo, score, -jnp.inf))
+
         # pad to cell multiples for the bucketed ops
         cell = c.cell_size
         ph = (cell - lh % cell) % cell
         pw = (cell - lw % cell) % cell
-        corner_hi_p = jnp.pad(corner_hi, ((0, ph), (0, pw)))
-        corner_lo_p = jnp.pad(corner_lo, ((0, ph), (0, pw)))
-        score_p = jnp.pad(score, ((0, ph), (0, pw)))
-
-        # dual-threshold fallback per cell (ORBextractor.cc:988-995)
-        has_hi = _cell_any(corner_hi_p, cell)
-        detected = jnp.where(has_hi, corner_hi_p, corner_lo_p)
-
-        # NMS and final candidate mask
-        nms_score = jnp.where(detected, score_p, -jnp.inf)
-        keep = detected & _nms3(nms_score)
-        cand_score = jnp.where(keep, score_p, -jnp.inf)
+        enc = jnp.pad(enc, ((0, ph), (0, pw)), constant_values=-jnp.inf)
 
         # per-cell top-k, then level top-budget
-        hp, wp = cand_score.shape
+        hp, wp = enc.shape
         ncy, ncx = hp // cell, wp // cell
-        cells = cand_score.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
+        cells = enc.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3).reshape(ncy * ncx, cell * cell)
+        cell_has_hi = jnp.max(cells, axis=1, keepdims=True) >= 0.5 * _HI_BIAS
+        cells = jnp.where(cell_has_hi,
+                          jnp.where(cells >= 0.5 * _HI_BIAS,
+                                    cells - _HI_BIAS, -jnp.inf),
+                          cells)
         # iterative masked argmax instead of lax.top_k: top_k lowers to a
-        # per-row sort of cell*cell=1024 scores; k=8 rounds of max+mask are
-        # plain VPU passes (same lesson as hamming.best_and_second)
-        top_val, top_idx = _topk_small(cells, min(c.cell_topk, cell * cell))
+        # per-row sort of cell*cell=1024 scores; k rounds of max+mask are
+        # plain VPU passes (same lesson as hamming.best_and_second).
+        # k is sized to the level budget: a level that only needs
+        # budget/ncells winners per cell on average gets 3x headroom for
+        # uneven texture, capped at the config's cell_topk.
+        k_cell = min(c.cell_topk, cell * cell,
+                     max(3, -(-budget // (ncy * ncx)) * 3))
+        top_val, top_idx = _topk_small(cells, k_cell)
         cy = jax.lax.broadcasted_iota(jnp.int32, top_val.shape, 0) // ncx
         cx = jax.lax.broadcasted_iota(jnp.int32, top_val.shape, 0) % ncx
         py = cy * cell + top_idx // cell

@@ -40,7 +40,7 @@ def main():
     rng = np.random.default_rng(0)
     img_np = rng.uniform(0, 255, (480, 640)).astype(np.float32)
     img = jax.device_put(jnp.asarray(img_np))
-    M = 8  # scan length per program
+    M = int(os.environ.get("PROF_M", "8"))  # scan length per program
 
     def scanned(fn):
         @jax.jit
