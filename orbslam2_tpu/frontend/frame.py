@@ -7,6 +7,7 @@ see ops/match.py) and fixed-capacity masked arrays everywhere.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -74,6 +75,29 @@ def build_frame_rgbd(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _stereo_program(extractor: ORBExtractor, cam: PinholeCamera,
+                    scale_factor: float):
+    """One fused jitted program per (extractor, camera): extract both
+    images, reuse the shared blurred pyramids for SAD sub-pixel stereo
+    matching, and undistort — a single device dispatch per stereo frame
+    (the reference runs two extraction std::threads + a scalar matching
+    loop, Frame.cc:82-85, 577-751)."""
+    n_levels = extractor.config.n_levels
+
+    def run(gl, gr):
+        from orbslam2_tpu.ops.stereo import match_stereo
+        kp_l, pyr_l = extractor.extract_with_pyramid(gl)
+        kp_r, pyr_r = extractor.extract_with_pyramid(gr)
+        ur, depth = match_stereo(kp_l, kp_r, pyr_l, pyr_r, cam,
+                                 scale_factor, n_levels)
+        und_xy = cam.undistort_points(kp_l.xy)
+        return kp_l, und_xy, ur, depth
+
+    import jax as _jax
+    return _jax.jit(run)
+
+
 def build_frame_stereo(
     frame_id: int,
     timestamp: float,
@@ -84,20 +108,12 @@ def build_frame_stereo(
     extract_fn=None,
     scale_factor: float = 1.2,
 ) -> Frame:
-    """Stereo frame: extract ORB in both images (the reference uses two
-    std::threads, Frame.cc:82-85; here the second extraction is simply a
-    second device call on the same compiled program), then row-constrained
-    left-right matching (ops/stereo.py)."""
-    from orbslam2_tpu.ops.stereo import match_stereo
-
-    fn = extract_fn if extract_fn is not None else extractor
+    """Stereo frame: fused extract(L) + extract(R) + left-right matching +
+    undistortion in one compiled program; the SAD refinement reads the
+    extractor's own blurred pyramids (no rebuild)."""
     gl = jnp.asarray(gray_left, dtype=jnp.float32)
     gr = jnp.asarray(gray_right, dtype=jnp.float32)
-    kp_l = fn(gl)
-    kp_r = fn(gr)
-    ur, depth = match_stereo(kp_l, kp_r, gl, gr, cam, scale_factor,
-                             extractor.config.n_levels)
-    und_xy = cam.undistort_points(kp_l.xy)
+    kp_l, und_xy, ur, depth = _stereo_program(extractor, cam, scale_factor)(gl, gr)
     kp = Keypoints(
         xy=und_xy, response=kp_l.response, angle=kp_l.angle, octave=kp_l.octave,
         size=kp_l.size, desc=kp_l.desc, valid=kp_l.valid,

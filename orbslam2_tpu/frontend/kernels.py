@@ -47,8 +47,14 @@ def frustum_check(
     distance within scale band, viewing angle < 60 deg."""
     pc = se3.apply(tcw, pt_pos)
     uv, z = cam.project(pc)
+    # gate against the *undistorted* image rectangle (mnMinX..mnMaxX,
+    # Frame.cc:329-333 + ComputeImageBounds:520-575): keypoint coords are
+    # undistorted, so on distorted cameras valid projections can land
+    # outside [0, width) — raw bounds would wrongly cull edge points
+    min_x, max_x, min_y, max_y = cam.undistorted_bounds()
     in_img = (
-        (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+        (uv[:, 0] >= min_x) & (uv[:, 0] < max_x)
+        & (uv[:, 1] >= min_y) & (uv[:, 1] < max_y)
     )
     ow = se3.camera_center(tcw)
     rays = pt_pos - ow[None, :]
@@ -152,8 +158,10 @@ def search_by_projection_last(
     -> WindowedMatches."""
     pc = se3.apply(tcw_pred, last_pt_pos)
     uv, z = cam.project(pc)
-    visible = last_pt_valid & (z > 0.05) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) \
-        & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    # undistorted-rectangle gate (ORBmatcher.cc:1422-1425 uses mnMinX..mnMaxX)
+    min_x, max_x, min_y, max_y = cam.undistorted_bounds()
+    visible = last_pt_valid & (z > 0.05) & (uv[:, 0] >= min_x) & (uv[:, 0] < max_x) \
+        & (uv[:, 1] >= min_y) & (uv[:, 1] < max_y)
     radius = radius_px * scale_factor ** last_octave.astype(jnp.float32)
     res = match.windowed_match(
         uv, last_desc, visible, radius,

@@ -96,6 +96,10 @@ class Tracker:
         self._covis_w: Optional[np.ndarray] = None
         self.last_reloc_frame_id: int = -1000000
         self.is_mono = False
+        # localization-mode VO state (mbVO, Tracking.h:104): True when the
+        # frame tracks <10 real map points and survives on temporal points
+        self.mb_vo = False
+        self._map_inliers = 0
         self._init_ref: Optional[frame_mod.Frame] = None
         # place-recognition hooks (set by SLAMSystem when a vocabulary exists)
         self.vocabulary = None
@@ -164,10 +168,13 @@ class Tracker:
         if self.state == TrackingState.OK:
             self._update_last_frame()
             with self.stats.stage("initial_track"):
-                if self.velocity is not None:
-                    ok = self._track_with_motion_model(fr)
-                if not ok:
-                    ok = self._track_reference_keyframe(fr)
+                if not self.cfg.localization_only:
+                    if self.velocity is not None:
+                        ok = self._track_with_motion_model(fr)
+                    if not ok:
+                        ok = self._track_reference_keyframe(fr)
+                else:
+                    ok = self._track_localization_mode(fr)
         else:
             with self.stats.stage("relocalize"):
                 ok = self._relocalize(fr)
@@ -175,13 +182,11 @@ class Tracker:
         if ok and not self.cfg.localization_only:
             with self.stats.stage("local_map"):
                 ok = self._track_local_map(fr)
-        elif ok:
-            # localization mode: away from the map, visual odometry on
-            # temporal points keeps the pose alive (the reference's mbVO
-            # state, Tracking.cc:354-424)
-            n_mm_inliers = self.matches_inliers
-            ok_local = self._track_local_map(fr)
-            ok = ok_local or n_mm_inliers >= 20
+        elif ok and not self.mb_vo:
+            # localization mode with enough map-point matches: refine
+            # against the local map (Tracking.cc:413-424); in VO mode
+            # (mb_vo) the local map is skipped entirely
+            ok = self._track_local_map(fr)
 
         if ok:
             self.state = TrackingState.OK
@@ -338,6 +343,8 @@ class Tracker:
         (Tracking::UpdateLastFrame, Tracking.cc:949-1028)."""
         self._vo_mask = None
         self._vo_pos = None
+        self._aux_pos = None
+        self._aux_mask = None
         if not self.trajectory:
             return
         entry = self.trajectory[-1]
@@ -363,6 +370,40 @@ class Tracker:
         self._vo_mask[take] = True
         self._vo_pos = np.zeros((last.n, 3), np.float32)
         self._vo_pos[take] = pw
+
+    # ------------------------------------------------------------------
+    # localization-mode arbitration (Tracking.cc:354-412): with enough
+    # map matches (not mb_vo) track normally; in VO mode run the motion
+    # model AND relocalization in the same frame and prefer the reloc.
+    # ------------------------------------------------------------------
+    def _track_localization_mode(self, fr: frame_mod.Frame) -> bool:
+        if not self.mb_vo:
+            if self.velocity is not None:
+                return self._track_with_motion_model(fr)
+            return self._track_reference_keyframe(fr)
+        ok_mm = False
+        tcw_mm = pt_mm = out_mm = None
+        mm_inliers = 0
+        if self.velocity is not None:
+            ok_mm = self._track_with_motion_model(fr)
+            tcw_mm = fr.tcw.copy()
+            pt_mm = fr.pt_ids.copy()
+            out_mm = fr.is_outlier.copy()
+            mm_inliers = self.matches_inliers
+        ok_reloc = self._relocalize(fr)
+        if ok_mm and not ok_reloc:
+            fr.tcw = tcw_mm
+            fr.pt_ids = pt_mm
+            fr.is_outlier = out_mm
+            self.matches_inliers = mm_inliers
+            if self.mb_vo:
+                # in pure-VO survival, matched map points count as found
+                # (Tracking.cc:390-398)
+                tracked = fr.pt_ids[(fr.pt_ids >= 0) & ~fr.is_outlier]
+                self.map.increase_found(tracked)
+        elif ok_reloc:
+            self.mb_vo = False  # map tracking restored (Tracking.cc:404)
+        return ok_reloc or ok_mm
 
     # ------------------------------------------------------------------
     # motion-model tracking (Tracking.cc:1036-1123)
@@ -414,8 +455,20 @@ class Tracker:
             aux_mask[idx] = True
             aux_pos[idx] = pos[assoc[idx]]
         fr.tcw = tcw_pred
-        return self._optimize_frame_pose(fr, min_inliers=10,
-                                         aux_pos=aux_pos, aux_mask=aux_mask)
+        ok = self._optimize_frame_pose(fr, min_inliers=10,
+                                       aux_pos=aux_pos, aux_mask=aux_mask)
+        # keep the temporal-point associations for the local-map stage: the
+        # reference's localization-mode mnMatchesInliers counts VO points
+        # too (Tracking.cc:1158-1169, mbOnlyTracking branch)
+        self._aux_pos = aux_pos
+        self._aux_mask = aux_mask
+        if self.cfg.localization_only:
+            # mbVO bookkeeping (Tracking.cc:1100-1121): <10 *map*-point
+            # inliers means we are doing visual odometry on temporal
+            # points; survival needs >20 total inliers
+            self.mb_vo = self._map_inliers < 10
+            return self.matches_inliers > 20
+        return ok
 
     # ------------------------------------------------------------------
     # reference-KF tracking (Tracking.cc:891-947)
@@ -461,6 +514,7 @@ class Tracker:
         self._init_ref = None
         self._covis_w = None
         self._mirror = None
+        self.mb_vo = False
 
     # ------------------------------------------------------------------
     def _word_ids(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
@@ -594,8 +648,13 @@ class Tracker:
         visible_rows = np.asarray(info.visible)[:n_local]
         self.map.increase_visible(pt_ids[visible_rows])
 
+        aux_pos = getattr(self, "_aux_pos", None) \
+            if self.cfg.localization_only else None
+        aux_mask = getattr(self, "_aux_mask", None) \
+            if self.cfg.localization_only else None
         ok = self._optimize_frame_pose(fr, min_inliers=30 if
-                                       fr.frame_id - self.last_reloc_frame_id > 30 else 50)
+                                       fr.frame_id - self.last_reloc_frame_id > 30 else 50,
+                                       aux_pos=aux_pos, aux_mask=aux_mask)
         if ok:
             tracked = fr.pt_ids[(fr.pt_ids >= 0) & ~fr.is_outlier]
             self.map.increase_found(tracked)
@@ -628,6 +687,8 @@ class Tracker:
         # Tracking.cc:1100-1119)
         fr.pt_ids[fr.is_outlier] = -1
         self.matches_inliers = n_in
+        # inliers that are real map points (nmatchesMap, Tracking.cc:1104)
+        self._map_inliers = int((fr.pt_ids >= 0).sum())
         if n_in < min_inliers:
             return False
         fr.tcw = np.asarray(tcw)
@@ -756,7 +817,9 @@ class Tracker:
     def full_trajectory_twc(self) -> np.ndarray:
         """Recover all frame poses through their reference keyframes,
         chaining through culled keyframes via stored relative poses
-        (System::SaveTrajectoryTUM logic, System.cc:353-415)."""
+        (System::SaveTrajectoryKITTI logic, System.cc:426-506: one pose per
+        frame, lost frames carried forward). For TUM export, which skips
+        lost frames (System.cc:380-385), pair with `trajectory_lost_mask`."""
         out = []
         last = np.eye(4, dtype=np.float32)
         for e in self.trajectory:
@@ -770,3 +833,8 @@ class Tracker:
             last = np.linalg.inv(tcw).astype(np.float32)
             out.append(last)
         return np.stack(out)
+
+    def trajectory_lost_mask(self) -> np.ndarray:
+        """[F] bool: frame was lost (mlbLost analogue, Tracking.h:111).
+        The TUM saver drops these rows (System.cc:380-385)."""
+        return np.array([e.lost for e in self.trajectory], bool)

@@ -8,6 +8,7 @@ arg or closed over), holding intrinsics as plain floats.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -117,17 +118,38 @@ class PinholeCamera:
 
     def undistorted_bounds(self) -> Tuple[float, float, float, float]:
         """(min_x, max_x, min_y, max_y) of the undistorted image rectangle
-        (reference: Frame::ComputeImageBounds /root/reference/src/Frame.cc:520-575)."""
-        if not self.has_distortion:
-            return 0.0, float(self.width), 0.0, float(self.height)
-        corners = jnp.array(
-            [[0.0, 0.0], [self.width, 0.0], [0.0, self.height], [self.width, self.height]],
-            dtype=jnp.float32,
-        )
-        und = self.undistort_points(corners)
-        und = jax.device_get(und)
-        min_x = float(min(und[0, 0], und[2, 0]))
-        max_x = float(max(und[1, 0], und[3, 0]))
-        min_y = float(min(und[0, 1], und[1, 1]))
-        max_y = float(max(und[2, 1], und[3, 1]))
-        return min_x, max_x, min_y, max_y
+        (reference: Frame::ComputeImageBounds /root/reference/src/Frame.cc:520-575).
+
+        Pure numpy (no device dispatch): evaluated at trace time by the
+        jitted frustum kernels, which gate projections against these bounds
+        exactly like the reference's mnMinX/mnMaxX (Frame.cc:329-333)."""
+        return _undistorted_bounds_cached(self)
+
+
+@functools.lru_cache(maxsize=64)
+def _undistorted_bounds_cached(cam: "PinholeCamera") -> Tuple[float, float, float, float]:
+    import numpy as np
+
+    if not cam.has_distortion:
+        return 0.0, float(cam.width), 0.0, float(cam.height)
+    corners = np.array(
+        [[0.0, 0.0], [cam.width, 0.0], [0.0, cam.height], [cam.width, cam.height]],
+        dtype=np.float64,
+    )
+    xd = np.stack([(corners[:, 0] - cam.cx) / cam.fx,
+                   (corners[:, 1] - cam.cy) / cam.fy], axis=-1)
+    xn = xd.copy()
+    for _ in range(8):  # fixed-point inversion, mirroring undistort_points
+        x, y = xn[:, 0], xn[:, 1]
+        r2 = x * x + y * y
+        radial = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+        xy = x * y
+        dx = 2.0 * cam.p1 * xy + cam.p2 * (r2 + 2.0 * x * x)
+        dy = cam.p1 * (r2 + 2.0 * y * y) + 2.0 * cam.p2 * xy
+        xn = np.stack([(xd[:, 0] - dx) / radial, (xd[:, 1] - dy) / radial], axis=-1)
+    und = np.stack([cam.fx * xn[:, 0] + cam.cx, cam.fy * xn[:, 1] + cam.cy], axis=-1)
+    min_x = float(min(und[0, 0], und[2, 0]))
+    max_x = float(max(und[1, 0], und[3, 0]))
+    min_y = float(min(und[0, 1], und[1, 1]))
+    max_y = float(max(und[2, 1], und[3, 1]))
+    return min_x, max_x, min_y, max_y

@@ -198,6 +198,33 @@ class SyntheticSequence:
         return np.stack(poses)
 
     # ------------------------------------------------------------------
+    def _pixel_rays(self) -> np.ndarray:
+        """[H, W, 3] camera-frame ray directions (z = 1), honoring lens
+        distortion: on a distorted camera the pixel grid holds *distorted*
+        normalized coords, so the true ray comes from the fixed-point
+        inversion (the same model Frame::UndistortKeyPoints inverts,
+        /root/reference/src/Frame.cc:470-515). Cached per sequence."""
+        if getattr(self, "_rays_cache", None) is not None:
+            return self._rays_cache
+        cam = self.cam
+        h, w = cam.height, cam.width
+        us, vs = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        xd = (us - cam.cx) / cam.fx
+        yd = (vs - cam.cy) / cam.fy
+        xn, yn = xd, yd
+        if cam.has_distortion:
+            for _ in range(10):
+                r2 = xn * xn + yn * yn
+                radial = 1.0 + r2 * (cam.k1 + r2 * (cam.k2 + r2 * cam.k3))
+                xy = xn * yn
+                dx = 2.0 * cam.p1 * xy + cam.p2 * (r2 + 2.0 * xn * xn)
+                dy = cam.p1 * (r2 + 2.0 * yn * yn) + 2.0 * cam.p2 * xy
+                xn = (xd - dx) / radial
+                yn = (yd - dy) / radial
+        self._rays_cache = np.stack([xn, yn, np.ones_like(xn)], axis=-1)
+        return self._rays_cache
+
     def render(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         """-> (gray [H, W] float32 0..255, depth [H, W] float32 meters;
         depth <= 0 where no surface)."""
@@ -211,10 +238,7 @@ class SyntheticSequence:
             self._occluder_plane.q[0] = -1.2 + 2.4 * t
 
         h, w = cam.height, cam.width
-        us, vs = np.meshgrid(np.arange(w, dtype=np.float32), np.arange(h, dtype=np.float32))
-        dirs_c = np.stack(
-            [(us - cam.cx) / cam.fx, (vs - cam.cy) / cam.fy, np.ones_like(us)], axis=-1
-        )
+        dirs_c = self._pixel_rays()
         dirs_w = dirs_c @ rwc.T  # [H, W, 3]
 
         depth = np.full((h, w), np.inf, np.float32)

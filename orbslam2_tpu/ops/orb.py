@@ -300,7 +300,17 @@ class ORBExtractor:
     # ------------------------------------------------------------------
     def __call__(self, image: jax.Array) -> Keypoints:
         """image: [H, W] float32 in [0, 255] -> fixed-capacity Keypoints."""
+        kp, _ = self.extract_with_pyramid(image)
+        return kp
+
+    def extract_with_pyramid(self, image: jax.Array):
+        """Like __call__ but also returns the per-level *blurred* pyramid
+        (tuple of [lh, lw] f32 arrays) so downstream consumers — stereo SAD
+        sub-pixel refinement (ops/stereo.py) — reuse it instead of
+        rebuilding the resize+blur chain (the reference shares mvImagePyramid
+        the same way, Frame.cc:672-719 reading ORBextractor::mvImagePyramid)."""
         per_level = []
+        pyramid = []
         img = image
         for level in range(self.config.n_levels):
             lh, lw = self.level_shapes[level]
@@ -309,7 +319,12 @@ class ORBExtractor:
                 # one, accumulating smoothing exactly like the reference
                 # chain (ComputePyramid, ORBextractor.cc:1345)
                 img = jax.image.resize(img, (lh, lw), method="bilinear")
-            per_level.append(self._extract_level(img, level))
+            blurred = _separable_conv(img, self.blur_kernel)
+            pyramid.append(blurred)
+            per_level.append(self._extract_level(img, level, blurred))
+        return self._concat_levels(per_level), tuple(pyramid)
+
+    def _concat_levels(self, per_level) -> Keypoints:
         return Keypoints(
             xy=jnp.concatenate([k.xy for k in per_level], axis=0),
             response=jnp.concatenate([k.response for k in per_level], axis=0),
@@ -321,7 +336,8 @@ class ORBExtractor:
         )
 
     # ------------------------------------------------------------------
-    def _extract_level(self, img: jax.Array, level: int) -> Keypoints:
+    def _extract_level(self, img: jax.Array, level: int,
+                       blurred: jax.Array) -> Keypoints:
         c = self.config
         lh, lw = img.shape
         budget = self.level_budgets[level]
@@ -391,7 +407,6 @@ class ORBExtractor:
         ys = jnp.clip(ys, 0, lh - 1)
         xs = jnp.clip(xs, 0, lw - 1)
 
-        blurred = _separable_conv(img, self.blur_kernel)
         if self.use_pallas:
             # fused per-keypoint Pallas kernel: moments + rotated BRIEF in
             # one pass over VMEM-resident windows (ops/pallas_orb.py)

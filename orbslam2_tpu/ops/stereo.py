@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from orbslam2_tpu.geometry.camera import PinholeCamera
 from orbslam2_tpu.ops import hamming
-from orbslam2_tpu.ops.orb import Keypoints, ORBExtractor, _separable_conv, gaussian_kernel1d
+from orbslam2_tpu.ops.orb import Keypoints
 
 _SAD_W = 5      # half window (11x11, Frame.cc:672)
 _SAD_SLIDE = 5  # +-5 columns searched (Frame.cc:675)
@@ -32,14 +32,18 @@ _SAD_SLIDE = 5  # +-5 columns searched (Frame.cc:675)
 def match_stereo(
     kp_l: Keypoints,
     kp_r: Keypoints,
-    gray_l: jax.Array,
-    gray_r: jax.Array,
+    pyr_l: Tuple[jax.Array, ...],
+    pyr_r: Tuple[jax.Array, ...],
     cam: PinholeCamera,
     scale_factor: float = 1.2,
     n_levels: int = 8,
 ) -> Tuple[jax.Array, jax.Array]:
     """-> (uR [N] virtual right-u per left keypoint (<0 if unmatched),
            depth [N] (<0 if unmatched)).
+
+    ``pyr_l`` / ``pyr_r``: the extractor's blurred pyramids
+    (ORBExtractor.extract_with_pyramid), shared with extraction exactly
+    like the reference reads mvImagePyramid (Frame.cc:672-719).
 
     Masks mirror the reference: row window 2 * sigma(octave_L)
     (Frame.cc:617), disparity in (0, fx] i.e. depth >= baseline
@@ -61,7 +65,7 @@ def match_stereo(
     matched = best_d <= hamming.TH_HIGH
     ur0 = kp_r.xy[jnp.clip(best_j, 0, kp_r.n - 1), 0]
 
-    ur = _sad_subpixel(gray_l, gray_r, kp_l, ur0, scale_factor, n_levels)
+    ur = _sad_subpixel(pyr_l, pyr_r, kp_l, ur0, scale_factor, n_levels)
     disparity = kp_l.xy[:, 0] - ur
     matched = matched & (disparity > 0.01) & (disparity <= max_d)
     depth = cam.bf / jnp.maximum(disparity, 0.01)
@@ -77,29 +81,22 @@ def match_stereo(
             jnp.where(keep, depth, -1.0))
 
 
-def _sad_subpixel(gray_l, gray_r, kp_l: Keypoints, ur0: jax.Array,
+def _sad_subpixel(pyr_l, pyr_r, kp_l: Keypoints, ur0: jax.Array,
                   scale_factor: float, n_levels: int) -> jax.Array:
     """Slide an 11x11 window +-5 columns on the blurred octave image of
     each keypoint; parabola-interpolate the SAD minimum (Frame.cc:672-719).
+    Operates on the extractor's blurred pyramids (no rebuild).
     Returns refined uR in level-0 coordinates."""
-    h, w = gray_l.shape
-    blur = gaussian_kernel1d(2.0, 3)
     n = kp_l.n
     win = 2 * _SAD_W + 1
     strip_w = win + 2 * _SAD_SLIDE
 
     ur_out = ur0
     refined_any = jnp.zeros(n, bool)
-    img_l, img_r = gray_l, gray_r
     for lvl in range(n_levels):
         s = scale_factor ** lvl
-        lh, lw = max(32, int(round(h / s))), max(32, int(round(w / s)))
-        if lvl > 0:
-            # cascaded pyramid, matching the reference's resize chain
-            img_l = jax.image.resize(img_l, (lh, lw), "bilinear")
-            img_r = jax.image.resize(img_r, (lh, lw), "bilinear")
-        bl = _separable_conv(img_l, blur)
-        br = _separable_conv(img_r, blur)
+        bl, br = pyr_l[lvl], pyr_r[lvl]
+        lh, lw = bl.shape
 
         xl = jnp.round(kp_l.xy[:, 0] / s).astype(jnp.int32)
         yl = jnp.round(kp_l.xy[:, 1] / s).astype(jnp.int32)

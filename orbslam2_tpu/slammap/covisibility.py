@@ -116,6 +116,16 @@ def local_keyframes(m, frame_pt_ids: np.ndarray, w: np.ndarray) -> Tuple[np.ndar
                 local.append(int(nb))
                 in_local.add(int(nb))
                 break  # reference adds only the first new best neighbor
+        # spanning-tree children: first not-yet-included child
+        # (Tracking.cc:1570-1583)
+        for ch in np.where(m.kf_parent == kf)[0]:
+            if ch not in in_local and m.kf_valid[ch]:
+                local.append(int(ch))
+                in_local.add(int(ch))
+                break
+        # parent (Tracking.cc:1585-1594; the reference `break`s out of the
+        # whole expansion after the first parent added — a known quirk we
+        # deliberately do not reproduce)
         par = m.kf_parent[kf]
         if par >= 0 and par not in in_local and m.kf_valid[par]:
             local.append(int(par))

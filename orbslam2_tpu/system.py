@@ -206,9 +206,12 @@ class SLAMSystem:
             else TrackingState.NO_IMAGES_YET
 
     def save_trajectory_tum(self, path: str) -> None:
+        """Lost frames are skipped, matching the reference saver
+        (System.cc:380-385: `if(*lbL) continue;`)."""
         twc = self.tracker.full_trajectory_twc()
         ts = np.array([e.timestamp for e in self.tracker.trajectory])
-        traj_io.save_tum(path, ts, twc)
+        keep = ~self.tracker.trajectory_lost_mask()
+        traj_io.save_tum(path, ts[keep], twc[keep])
 
     def save_keyframe_trajectory_tum(self, path: str) -> None:
         ids = self.map.keyframe_ids()

@@ -21,9 +21,9 @@ class TestStereoMatch:
         ex = ORBExtractor(ORBConfig(n_features=800, n_levels=4), (240, 320))
         gl = jnp.asarray(left.astype(np.float32))
         gr = jnp.asarray(right.astype(np.float32))
-        kp_l = ex(gl)
-        kp_r = ex(gr)
-        ur, depth = match_stereo(kp_l, kp_r, gl, gr, CAM, 1.2, 4)
+        kp_l, pyr_l = ex.extract_with_pyramid(gl)
+        kp_r, pyr_r = ex.extract_with_pyramid(gr)
+        ur, depth = match_stereo(kp_l, kp_r, pyr_l, pyr_r, CAM, 1.2, 4)
         ur, depth = np.asarray(ur), np.asarray(depth)
         xy = np.asarray(kp_l.xy)
         ok = depth > 0
