@@ -105,6 +105,45 @@ void mg_invert_obs(const int32_t* kf_pt, const uint8_t* kf_valid,
     }
 }
 
+// ABI stamp: slammap/native.py checks the compiled library exports this
+// (and returns this value) before binding; a stale .so is rebuilt.
+int32_t mg_abi_version(void) { return 2; }
+
+// CSR inverted observation index carrying both the keyframe AND the
+// keypoint slot per observation — the per-point (kf, slot) lists that back
+// keyframe culling (LocalMapping.cc:704-790 reads mObservations pairs) and
+// point replacement without any [K, N] rescan.
+// out_offsets: [P + 1]; out_kf/out_slot: [total obs] (caller sizes K * N).
+void mg_invert_obs_slots(const int32_t* kf_pt, const uint8_t* kf_valid,
+                         int K, int N, int P,
+                         int32_t* out_offsets, int32_t* out_kf,
+                         int32_t* out_slot) {
+    std::vector<int32_t> counts((size_t)P, 0);
+    for (int k = 0; k < K; ++k) {
+        if (!kf_valid[k]) continue;
+        const int32_t* row = kf_pt + (size_t)k * N;
+        for (int i = 0; i < N; ++i) {
+            int32_t p = row[i];
+            if (p >= 0 && p < P) counts[p] += 1;
+        }
+    }
+    out_offsets[0] = 0;
+    for (int p = 0; p < P; ++p) out_offsets[p + 1] = out_offsets[p] + counts[p];
+    std::vector<int32_t> cursor(out_offsets, out_offsets + P);
+    for (int k = 0; k < K; ++k) {
+        if (!kf_valid[k]) continue;
+        const int32_t* row = kf_pt + (size_t)k * N;
+        for (int i = 0; i < N; ++i) {
+            int32_t p = row[i];
+            if (p >= 0 && p < P) {
+                out_kf[cursor[p]] = k;
+                out_slot[cursor[p]] = i;
+                ++cursor[p];
+            }
+        }
+    }
+}
+
 // share[k] = number of pts (given id list) observed by keyframe k, using
 // the CSR index from mg_invert_obs.
 void mg_share_from_index(const int32_t* offsets, const int32_t* obs_kf,

@@ -114,9 +114,8 @@ class LocalMapper:
                 drop.append(pid)
             elif age >= 3:
                 done.append(pid)  # survived probation
-        for pid in drop:
-            m.erase_point(pid)
-            done.append(pid)
+        m.erase_points(np.array(drop, np.int64))
+        done.extend(drop)
         for pid in done:
             self._recent.pop(pid, None)
 
@@ -243,6 +242,7 @@ class LocalMapper:
             self.cfg.scale_factor, self.cfg.n_levels, max_hamming=50)
         assoc = np.asarray(res.assoc)  # [N_kp] -> candidate row
         obs_count = m.point_obs_count()
+        replaces = []
         for slot in np.where(assoc >= 0)[0]:
             pid = int(pt_ids[assoc[slot]])
             if not m.pt_valid[pid]:
@@ -253,11 +253,14 @@ class LocalMapper:
                     continue
                 # duplicate: keep the better-observed point
                 if obs_count[existing] >= obs_count[pid]:
-                    m.replace_point(pid, existing)
+                    replaces.append((pid, existing))
                 else:
-                    m.replace_point(existing, pid)
+                    replaces.append((existing, pid))
             else:
                 m.add_observation(kf, slot, pid)
+        # one batched Replace for all duplicates (MapPoint.cc:190-232):
+        # a single CSR pass instead of a [K, N] rescan per merge
+        m.replace_points(replaces)
 
     # ------------------------------------------------------------------
     # Local bundle adjustment (Optimizer.cc:528-862)
@@ -277,9 +280,13 @@ class LocalMapper:
             return
         pt_slot = {int(p): i for i, p in enumerate(pts)}
 
-        # fixed cameras: other KFs observing these points (second ring)
-        inc = m.kf_pt[:, :, None] == pts[None, None, :]
-        sees = inc.any(axis=(1, 2)) & m.kf_valid
+        # fixed cameras: other KFs observing these points (second ring) —
+        # one CSR gather over the window's points (an all-pairs comparison
+        # tensor is [K, N, P_local] ~ 10^10 elements at KITTI scale)
+        _, obs_kf_ids, _ = m.gather_point_obs(pts)
+        sees = np.zeros(m.cap.max_keyframes, bool)
+        sees[obs_kf_ids] = True
+        sees &= m.kf_valid
         fixed = [int(k) for k in np.where(sees)[0] if k not in local_set]
         n_free = len(local)
         cams = [*local, *fixed][: cfg.ba_max_cams]
@@ -304,36 +311,34 @@ class LocalMapper:
         points = np.zeros((cfg.ba_max_points, 3), np.float32)
         points[: len(pts)] = m.pt_pos[pts]
 
-        # observations from all included cameras
-        obs_cam, obs_pt, obs_uv, obs_sig, obs_st = [], [], [], [], []
-        inv_sig_base = 1.0 / cfg.scale_factor ** 2
-        for c in cams:
-            ci = cam_slot[c]
-            slots = np.where(m.kf_pt[c] >= 0)[0]
-            for s in slots:
-                pid = int(m.kf_pt[c, s])
-                if pid not in pt_slot:
-                    continue
-                obs_cam.append(ci)
-                obs_pt.append(pt_slot[pid])
-                ur = m.kf_kp_ur[c, s]
-                obs_uv.append([m.kf_kp_xy[c, s, 0], m.kf_kp_xy[c, s, 1], max(ur, -1.0)])
-                obs_sig.append(inv_sig_base ** m.kf_kp_octave[c, s])
-                obs_st.append(ur >= 0)
-        n_obs = min(len(obs_cam), cfg.ba_max_obs)
+        # observations from all included cameras — vectorized gather via a
+        # point-id -> BA-slot lookup table (the per-cam/per-slot Python
+        # double loop was ~10^4 iterations per keyframe)
+        cams_arr = np.array(cams, np.int32)
+        pt_lut = np.full(m.cap.max_points, -1, np.int32)
+        pt_lut[pts] = np.arange(len(pts), dtype=np.int32)
+        sub = m.kf_pt[cams_arr]                      # [C, N]
+        pslot = np.where(sub >= 0, pt_lut[np.maximum(sub, 0)], -1)
+        ci_idx, slot_idx = np.nonzero(pslot >= 0)
+        n_obs = min(len(ci_idx), cfg.ba_max_obs)
         if n_obs < 30:
             return
+        ci_idx, slot_idx = ci_idx[:n_obs], slot_idx[:n_obs]
+        sel_kf = cams_arr[ci_idx]
+        ur = m.kf_kp_ur[sel_kf, slot_idx]
+        inv_sig_base = 1.0 / cfg.scale_factor ** 2
         o_cam = np.zeros(cfg.ba_max_obs, np.int32)
         o_pt = np.zeros(cfg.ba_max_obs, np.int32)
         o_uv = np.zeros((cfg.ba_max_obs, 3), np.float32)
         o_sig = np.ones(cfg.ba_max_obs, np.float32)
         o_st = np.zeros(cfg.ba_max_obs, bool)
         o_val = np.zeros(cfg.ba_max_obs, bool)
-        o_cam[:n_obs] = obs_cam[:n_obs]
-        o_pt[:n_obs] = obs_pt[:n_obs]
-        o_uv[:n_obs] = obs_uv[:n_obs]
-        o_sig[:n_obs] = obs_sig[:n_obs]
-        o_st[:n_obs] = obs_st[:n_obs]
+        o_cam[:n_obs] = ci_idx
+        o_pt[:n_obs] = pslot[ci_idx, slot_idx]
+        o_uv[:n_obs, :2] = m.kf_kp_xy[sel_kf, slot_idx]
+        o_uv[:n_obs, 2] = np.maximum(ur, -1.0)
+        o_sig[:n_obs] = inv_sig_base ** m.kf_kp_octave[sel_kf, slot_idx]
+        o_st[:n_obs] = ur >= 0
         o_val[:n_obs] = True
 
         problem = ba.BAProblem(
@@ -358,12 +363,13 @@ class LocalMapper:
                 m.kf_pose[c] = new_poses[i]
         m.pt_pos[pts] = new_points[: len(pts)]
         m.mark_pts_dirty(pts)
-        # erase outlier observations (Optimizer.cc:792-839)
+        # erase outlier observations (Optimizer.cc:792-839) — the staging
+        # above kept each observation's (kf, slot), so this is one scatter
         inlier = np.asarray(res.inlier)
-        for o in np.where(~inlier[:n_obs])[0]:
-            c = cams[o_cam[o]]
-            pid = int(pts[o_pt[o]])
-            m.erase_observation(c, pid, by_point=True)
+        bad = ~inlier[:n_obs]
+        if bad.any():
+            m.kf_pt[sel_kf[bad], slot_idx[bad]] = -1
+            m.touch_obs()
 
     # ------------------------------------------------------------------
     # KeyFrameCulling (LocalMapping.cc:704-790)
@@ -390,16 +396,16 @@ class LocalMapper:
             if len(slots) == 0:
                 continue
             cand_oct = m.kf_kp_octave[cand, slots]
-            redundant = 0
-            for s, pid, oct_c in zip(slots, pids, cand_oct):
-                if obs_count[pid] < 3:
-                    continue
-                ks, sl = np.where(m.kf_pt == pid)
-                keep = m.kf_valid[ks] & (ks != cand)
-                ks, sl = ks[keep], sl[keep]
-                finer = (m.kf_kp_octave[ks, sl] <= oct_c + 1).sum()
-                if finer >= 3:
-                    redundant += 1
+            # count, per point, other-KF observations at octave <= oct_c+1
+            # via the CSR index (the per-observation [K, N] scan was ~1e9
+            # element-touches per cull at KITTI scale); the CSR index only
+            # holds valid KFs, so no kf_valid re-check is needed
+            seg, oks, osl = m.gather_point_obs(pids.astype(np.int64))
+            other = oks != cand
+            finer_obs = other & (m.kf_kp_octave[oks, osl]
+                                 <= cand_oct[seg] + 1)
+            finer = np.bincount(seg[finer_obs], minlength=len(pids))
+            redundant = int(((obs_count[pids] >= 3) & (finer >= 3)).sum())
             if redundant > self.cfg.kf_cull_redundancy * len(slots):
                 m.erase_keyframe(cand)
                 if self.kfdb is not None:

@@ -30,7 +30,7 @@ from orbslam2_tpu.backend import ba, pose_graph, sim3_opt
 from orbslam2_tpu.backend.ba import BAProblem
 from orbslam2_tpu.frontend import kernels
 from orbslam2_tpu.frontend.local_mapping import kf_keypoints
-from orbslam2_tpu.geometry import sim3
+from orbslam2_tpu.geometry import sim3, sim3_np
 from orbslam2_tpu.geometry.camera import PinholeCamera
 from orbslam2_tpu.ops import hamming
 from orbslam2_tpu.slammap import covisibility
@@ -258,44 +258,45 @@ class LoopCloser:
     # CorrectLoop (LoopClosing.cc:500-760)
     # ------------------------------------------------------------------
     def _correct_loop(self, kf: int, loop_kf: int, s_cw: np.ndarray, w: np.ndarray):
+        """All staging is batched numpy (geometry/sim3_np): at KITTI scale
+        (~1400 KF / 14k edges / 150k pts) the per-element eager-JAX version
+        was O(K + E + P) device dispatches — minutes of host time per loop."""
         m = self.map
         cfg = self.cfg
         window = [kf, *map(int, covisibility.covisible_neighbors(w, kf))]
+        win_arr = np.array(window, np.int64)
+        kmax = m.cap.max_keyframes
 
-        # Sim3 for every window KF: S_iw_corr = (T_i T_c^-1) * S_cw (cc:544-585)
-        t_cw = m.kf_pose[kf]
-        corrected: Dict[int, np.ndarray] = {}
-        non_corrected: Dict[int, np.ndarray] = {}
-        for k_i in window:
-            t_iw = m.kf_pose[k_i]
-            t_ic = t_iw @ np.linalg.inv(t_cw)
-            s_ic = np.asarray(sim3.from_se3(jnp.asarray(t_ic.astype(np.float32))))
-            corrected[k_i] = np.asarray(sim3.compose(jnp.asarray(s_ic), jnp.asarray(s_cw)))
-            non_corrected[k_i] = np.asarray(sim3.from_se3(jnp.asarray(t_iw.astype(np.float32))))
+        # pre-correction poses: the NonCorrectedSim3 side (scale-1 Sim3,
+        # LoopClosing.cc:575-578)
+        pre_pose = m.kf_pose.astype(np.float32).copy()
 
-        # remap window map points: p' = S_corr^-1 (S_old p) (cc:589-629)
-        done_pts: Set[int] = set()
-        for k_i in window:
-            s_corr_inv = np.asarray(sim3.inverse(jnp.asarray(corrected[k_i])))
-            s_old = non_corrected[k_i]
-            pids = np.unique(m.kf_pt[k_i])
-            pids = pids[pids >= 0]
-            pids = [p for p in pids if m.pt_valid[p] and p not in done_pts]
-            if not pids:
-                continue
-            pids = np.array(pids)
-            p = m.pt_pos[pids]
-            p_cam = p @ s_old[:3, :3].T + s_old[:3, 3]
-            p_new = p_cam @ s_corr_inv[:3, :3].T + s_corr_inv[:3, 3]
-            m.pt_pos[pids] = p_new.astype(np.float32)
-            m.mark_pts_dirty(pids)
-            done_pts.update(int(x) for x in pids)
-            # corrected SE3 pose
-            m.kf_pose[k_i] = np.asarray(sim3.to_se3(
-                jnp.asarray(corrected[k_i]))).astype(np.float32)
+        # Sim3 for every window KF: S_iw_corr = (T_i T_c^-1) * S_cw
+        # (cc:544-585) — one batched compose
+        t_ic = pre_pose[win_arr] @ sim3_np.se3_inverse(pre_pose[kf])
+        corrected_w = t_ic @ np.asarray(s_cw, np.float32)  # [Kw, 4, 4]
+
+        # remap window map points p' = S_corr^-1 (S_old p) (cc:589-629),
+        # each point through its FIRST observing window KF (the reference's
+        # mnCorrectedByKF guard)
+        sub = m.kf_pt[win_arr]                           # [Kw, N]
+        wi, sl = np.nonzero(sub >= 0)
+        pids = sub[wi, sl]
+        keep = m.pt_valid[pids]
+        wi, pids = wi[keep], pids[keep]
+        order = np.lexsort((wi, pids))
+        pids_s, wi_s = pids[order], wi[order]
+        first = np.ones(len(pids_s), bool)
+        first[1:] = pids_s[1:] != pids_s[:-1]
+        upids, uwi = pids_s[first], wi_s[first]
+        remap = sim3_np.inverse(corrected_w) @ pre_pose[win_arr]  # [Kw,4,4]
+        if len(upids):
+            m.pt_pos[upids] = sim3_np.apply(remap[uwi], m.pt_pos[upids])
+            m.mark_pts_dirty(upids)
+        m.kf_pose[win_arr] = sim3_np.to_se3(corrected_w)
 
         # fuse loop-neighborhood points into the window (cc:651-675, 728-760)
-        from orbslam2_tpu.frontend.local_mapping import LocalMapper
+        from orbslam2_tpu.frontend.local_mapping import LocalMapper, LocalMapperConfig
         hood = [loop_kf, *map(int, covisibility.covisible_neighbors(w, loop_kf))]
         hood_pts = np.unique(m.kf_pt[np.array(hood)])
         hood_pts = hood_pts[hood_pts >= 0]
@@ -303,7 +304,6 @@ class LoopCloser:
         fuser = LocalMapper.__new__(LocalMapper)
         fuser.map = m
         fuser.cam = self.cam
-        from orbslam2_tpu.frontend.local_mapping import LocalMapperConfig
         fuser.cfg = LocalMapperConfig(scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
         for k_i in window:
             fuser._fuse_points_into_kf(hood_pts, k_i)
@@ -313,62 +313,52 @@ class LoopCloser:
         edges = covisibility.essential_edges(m, w2)
         edges.append((min(kf, loop_kf), max(kf, loop_kf)))
         edges = sorted(set(edges))
+        old_loop_pairs = {(min(a, b), max(a, b))
+                          for a in range(kmax) for b in m.kf_loop_edges[a]}
         m.kf_loop_edges[kf].add(loop_kf)
         m.kf_loop_edges[loop_kf].add(kf)
 
-        kmax = m.cap.max_keyframes
-        poses_sim3 = np.stack([
-            np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[i].astype(np.float32))))
-            for i in range(kmax)])
-        # window KFs keep their corrected Sim3 (with scale) as the initial value
-        for k_i, s_c in corrected.items():
-            poses_sim3[k_i] = s_c
+        # current-state Sim3 per KF (vScw, Optimizer.cc:931-956): corrected
+        # WITH scale for window KFs, the (unchanged) pose elsewhere
+        cur_sim3 = m.kf_pose.astype(np.float32).copy()
+        cur_sim3[win_arr] = corrected_w
         e_i = np.array([e[0] for e in edges], np.int32)
         e_j = np.array([e[1] for e in edges], np.int32)
-        # measurements from pre-correction relative poses, except edges
-        # within the corrected window / the loop edge, which use corrected
-        # relatives (NonCorrectedSim3 logic, Optimizer.cc:958-1058)
-        meas = []
-        for a, b in edges:
-            s_a = jnp.asarray(corrected.get(a, non_corrected.get(
-                a, np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[a].astype(np.float32)))))))
-            s_b = jnp.asarray(corrected.get(b, non_corrected.get(
-                b, np.asarray(sim3.from_se3(jnp.asarray(m.kf_pose[b].astype(np.float32)))))))
-            if (a, b) == (min(kf, loop_kf), max(kf, loop_kf)):
-                s_a = jnp.asarray(poses_sim3[a])
-                s_b = jnp.asarray(poses_sim3[b])
-            meas.append(np.asarray(sim3.compose(s_b, sim3.inverse(s_a))))
-        meas = np.stack(meas).astype(np.float32)
+        # NonCorrectedSim3 semantics (Optimizer.cc:958-1058): edges that
+        # existed BEFORE the loop (spanning tree, prior covisibility, old
+        # loop edges) measure the pre-correction relative pose; connections
+        # newly created by the loop fusion (LoopConnections, cc:680-703) and
+        # the loop edge itself measure the corrected relatives.
+        parent_pair = (m.kf_parent[e_i] == e_j) | (m.kf_parent[e_j] == e_i)
+        pre_covis = w[e_i, e_j] >= covisibility.COVIS_THRESHOLD
+        prev_loop = np.array([(int(a), int(b)) in old_loop_pairs
+                              for a, b in zip(e_i, e_j)], bool)
+        is_new = ~(parent_pair | pre_covis | prev_loop)
+        is_new[(e_i == min(kf, loop_kf)) & (e_j == max(kf, loop_kf))] = True
+        s_a = np.where(is_new[:, None, None], cur_sim3[e_i], pre_pose[e_i])
+        s_b = np.where(is_new[:, None, None], cur_sim3[e_j], pre_pose[e_j])
+        meas = (s_b @ sim3_np.inverse(s_a)).astype(np.float32)
 
         kf_fixed = np.zeros(kmax, bool)
         kf_fixed[loop_kf] = True
         new_sim3, _ = pose_graph.optimize_essential_graph(
-            jnp.asarray(poses_sim3.astype(np.float32)),
-            jnp.asarray(m.kf_valid), jnp.asarray(kf_fixed),
-            jnp.asarray(e_i), jnp.asarray(e_j), jnp.asarray(meas),
-            jnp.ones(len(e_i), bool), fix_scale=cfg.fix_scale)
+            jnp.asarray(cur_sim3), jnp.asarray(m.kf_valid),
+            jnp.asarray(kf_fixed), jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(meas), jnp.ones(len(e_i), bool),
+            fix_scale=cfg.fix_scale)
         new_sim3 = np.asarray(new_sim3)
 
         # apply: remap every point via its reference KF correction
-        # (Optimizer.cc:1122-1152), then convert poses to SE3
-        old_sim3 = {i: np.asarray(sim3.from_se3(jnp.asarray(
-            m.kf_pose[i].astype(np.float32)))) for i in range(kmax) if m.kf_valid[i]}
-        for i, s_c in corrected.items():
-            old_sim3[i] = s_c
+        # (Optimizer.cc:1122-1152) — one gathered einsum — then poses
+        remap_k = sim3_np.inverse(new_sim3) @ cur_sim3     # [K, 4, 4]
         pids = np.where(m.pt_valid)[0]
-        for p in pids:
-            ref = int(m.pt_ref_kf[p])
-            if ref < 0 or not m.kf_valid[ref]:
-                continue
-            s_old = old_sim3[ref]
-            s_new_inv = np.asarray(sim3.inverse(jnp.asarray(new_sim3[ref])))
-            pc = m.pt_pos[p] @ s_old[:3, :3].T + s_old[:3, 3]
-            m.pt_pos[p] = (pc @ s_new_inv[:3, :3].T + s_new_inv[:3, 3]).astype(np.float32)
+        refs = m.pt_ref_kf[pids]
+        good = (refs >= 0) & m.kf_valid[np.maximum(refs, 0)]
+        pids, refs = pids[good], refs[good]
+        m.pt_pos[pids] = sim3_np.apply(remap_k[refs], m.pt_pos[pids])
         m.mark_all_pts_dirty()
-        for i in range(kmax):
-            if m.kf_valid[i]:
-                m.kf_pose[i] = np.asarray(sim3.to_se3(
-                    jnp.asarray(new_sim3[i]))).astype(np.float32)
+        valid = m.kf_valid
+        m.kf_pose[valid] = sim3_np.to_se3(new_sim3[valid])
         m.change_index += 1
 
         # global BA (cc:717 RunGlobalBundleAdjustment): on a map snapshot,
@@ -495,16 +485,20 @@ class LoopCloser:
         # points covered by the snapshot take the optimized positions
         pt_cov = snap["pt_in"] & m.pt_valid & (m.pt_stamp == snap["pt_stamp"])
         m.pt_pos[pt_cov] = new_points[pt_cov]
-        # points created during the run: remap via their reference KF
-        pt_fresh = m.pt_valid & ~pt_cov
-        for p in np.where(pt_fresh)[0]:
-            ref = int(m.pt_ref_kf[p])
-            if ref not in corrected:
-                continue
-            t_old, t_new = old_pose[ref], corrected[ref]
-            pc = m.pt_pos[p] @ t_old[:3, :3].T + t_old[:3, 3]
-            rwc = t_new[:3, :3].T
-            m.pt_pos[p] = (rwc @ (pc - t_new[:3, 3])).astype(np.float32)
+        # points created during the run: remap via their reference KF —
+        # batched p' = T_new^-1 (T_old p) over one gathered einsum
+        corr_mask = np.zeros(m.cap.max_keyframes, bool)
+        corr_pose = np.zeros_like(m.kf_pose, dtype=np.float32)
+        for k, pose in corrected.items():
+            corr_mask[k] = True
+            corr_pose[k] = pose
+        pt_fresh = np.where(m.pt_valid & ~pt_cov)[0]
+        refs = m.pt_ref_kf[pt_fresh]
+        good = (refs >= 0) & corr_mask[np.maximum(refs, 0)]
+        pt_fresh, refs = pt_fresh[good], refs[good]
+        if len(pt_fresh):
+            remap = sim3_np.se3_inverse(corr_pose[refs]) @ old_pose[refs]
+            m.pt_pos[pt_fresh] = sim3_np.apply(remap, m.pt_pos[pt_fresh])
         m.mark_all_pts_dirty()
         for k, pose in corrected.items():
             m.kf_pose[k] = pose

@@ -202,6 +202,11 @@ class MapState:
         self.kf_pt[kf, slot] = pt
         self.obs_gen = next(_DIRTY_GEN)
 
+    def touch_obs(self) -> None:
+        """Invalidate observation-derived caches after a direct kf_pt
+        write (batch scatter paths)."""
+        self.obs_gen = next(_DIRTY_GEN)
+
     def erase_observation(self, kf: int, slot_or_pt: int, by_point: bool = False) -> None:
         if by_point:
             slots = np.where(self.kf_pt[kf] == slot_or_pt)[0]
@@ -235,9 +240,9 @@ class MapState:
         return all_dirty, ids
 
     def point_observations(self, pt: int) -> List[Tuple[int, int]]:
-        """-> [(kf, slot)] over valid keyframes."""
-        ks, slots = np.where(self.kf_pt == pt)
-        return [(int(k), int(s)) for k, s in zip(ks, slots) if self.kf_valid[k]]
+        """-> [(kf, slot)] over valid keyframes (CSR lookup, no scan)."""
+        _, ks, slots = self.gather_point_obs(np.array([pt], np.int64))
+        return [(int(k), int(s)) for k, s in zip(ks, slots)]
 
     def point_obs_count(self) -> np.ndarray:
         """[P] number of keyframe observations per point. Cached per
@@ -251,18 +256,47 @@ class MapState:
         return out
 
     def obs_index(self):
-        """Cached CSR point->keyframe observation index (native engine),
-        rebuilt when the observation structure changes. None without the
-        native library."""
+        """Cached CSR point->(keyframe, slot) observation index, rebuilt
+        when the observation structure changes: (offsets [P+1], obs_kf
+        [total], obs_slot [total]). Native engine when built, numpy
+        otherwise — never None. This is the array form of the reference's
+        MapPoint::mObservations (MapPoint.h:119-122)."""
         if self._obs_index_cache is not None and \
                 self._obs_index_cache[0] == self.obs_gen:
             return self._obs_index_cache[1]
-        if not _use_native():
-            return None
-        from orbslam2_tpu.slammap import native
-        idx = native.invert_obs(self.kf_pt, self.kf_valid, self.cap.max_points)
+        idx = None
+        if _use_native():
+            from orbslam2_tpu.slammap import native
+            idx = native.invert_obs_slots(self.kf_pt, self.kf_valid,
+                                          self.cap.max_points)
+        if idx is None:
+            ks, slots = np.nonzero((self.kf_pt >= 0) & self.kf_valid[:, None])
+            pids = self.kf_pt[ks, slots]
+            order = np.argsort(pids, kind="stable")
+            counts = np.bincount(pids, minlength=self.cap.max_points)
+            offsets = np.zeros(self.cap.max_points + 1, np.int32)
+            np.cumsum(counts, out=offsets[1:])
+            idx = (offsets, ks[order].astype(np.int32),
+                   slots[order].astype(np.int32))
         self._obs_index_cache = (self.obs_gen, idx)
         return idx
+
+    def gather_point_obs(self, pids: np.ndarray):
+        """All observations of the given points from the CSR index:
+        -> (seg_id [M] int — row into pids, obs_kf [M], obs_slot [M]).
+        Only touches the points' own segments (no [K, N] scan)."""
+        offsets, obs_kf, obs_slot = self.obs_index()
+        pids = np.asarray(pids, np.int64)
+        starts = offsets[pids].astype(np.int64)
+        lens = (offsets[pids + 1] - offsets[pids]).astype(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            z = np.zeros(0, np.int64)
+            return z, z.astype(np.int32), z.astype(np.int32)
+        seg_id = np.repeat(np.arange(len(pids)), lens)
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        flat = np.arange(total) + np.repeat(starts - base, lens)
+        return seg_id, obs_kf[flat], obs_slot[flat]
 
     def _point_obs_count_impl(self) -> np.ndarray:
         p = self.cap.max_points
@@ -279,28 +313,82 @@ class MapState:
 
     def erase_point(self, pt: int) -> None:
         """MapPoint::SetBadFlag (/root/reference/src/MapPoint.cc:119-148)."""
-        self.kf_pt[self.kf_pt == pt] = -1
-        self.pt_valid[pt] = False
-        self._pt_free.append(pt)
+        self.erase_points(np.array([pt], np.int64))
+
+    def erase_points(self, pts: np.ndarray) -> None:
+        """Batched SetBadFlag: one CSR lookup clears every observation of
+        every listed point (the per-point [K, N] rescan does not survive
+        KITTI scale — MapPointCulling drops dozens of points per KF)."""
+        pts = np.asarray(pts, np.int64)
+        if len(pts) == 0:
+            return
+        _, ks, slots = self.gather_point_obs(pts)
+        self.kf_pt[ks, slots] = -1
+        self.pt_valid[pts] = False
+        self._pt_free.extend(int(p) for p in pts)
         self.obs_gen = next(_DIRTY_GEN)
-        self.mark_pts_dirty((pt,))
+        self.mark_pts_dirty(pts)
 
     def replace_point(self, old: int, new: int) -> None:
         """MapPoint::Replace (/root/reference/src/MapPoint.cc:190-232):
         redirect all observations of `old` to `new`, keeping at most one
         observation per keyframe, then kill `old`."""
-        ks, slots = np.where(self.kf_pt == old)
-        for k, s in zip(ks, slots):
-            if (self.kf_pt[k] == new).any():
-                self.kf_pt[k, s] = -1  # kf already sees `new`
-            else:
-                self.kf_pt[k, s] = new
-        self.pt_found[new] += self.pt_found[old]
-        self.pt_visible[new] += self.pt_visible[old]
-        self.pt_valid[old] = False
-        self._pt_free.append(old)
+        self.replace_points([(old, new)])
+
+    def replace_points(self, pairs) -> None:
+        """Batched MapPoint::Replace over (old, new) pairs. Chains are
+        resolved first (a->b, b->c => a's observations land on c); each
+        keyframe keeps at most one observation of the final point. One CSR
+        lookup for all victims replaces per-pair [K, N] scans."""
+        if not pairs:
+            return
+        # resolve redirect chains with path compression
+        redirect = {}
+        for old, new in pairs:
+            redirect[int(old)] = int(new)
+
+        def _final(p: int) -> int:
+            seen = []
+            while p in redirect:
+                seen.append(p)
+                p = redirect[p]
+                if p in seen:  # cycle (a<->b): keep the last target
+                    break
+            for s in seen:
+                redirect[s] = p
+            return p
+
+        victims = np.array(sorted(redirect.keys()), np.int64)
+        targets = np.array([_final(int(v)) for v in victims], np.int64)
+        live = targets != victims
+        victims, targets = victims[live], targets[live]
+        if len(victims) == 0:
+            return
+        seg, ks, slots = self.gather_point_obs(victims)
+        new_pid = targets[seg]
+        # apply redirects, then dedup per keyframe: a kf that already saw
+        # the target keeps its ORIGINAL observation and drops the redirected
+        # one (MapPoint.cc:203-214); duplicates among redirects keep one
+        self.kf_pt[ks, slots] = new_pid.astype(np.int32)
+        for k in np.unique(ks):
+            row = self.kf_pt[k]
+            red = np.zeros(len(row), bool)
+            red[slots[ks == k]] = True
+            vi = np.nonzero(row >= 0)[0]
+            # sort by (pid, redirected-last, slot); keep the first of each pid
+            order = np.lexsort((vi, red[vi], row[vi]))
+            vi = vi[order]
+            pid_sorted = row[vi]
+            dup = np.zeros(len(vi), bool)
+            dup[1:] = pid_sorted[1:] == pid_sorted[:-1]
+            row[vi[dup]] = -1
+        # found/visible accumulate along the chains (MapPoint.cc:219-221)
+        np.add.at(self.pt_found, targets, self.pt_found[victims])
+        np.add.at(self.pt_visible, targets, self.pt_visible[victims])
+        self.pt_valid[victims] = False
+        self._pt_free.extend(int(v) for v in victims)
         self.obs_gen = next(_DIRTY_GEN)
-        self.mark_pts_dirty((old,))
+        self.mark_pts_dirty(victims)
 
     def erase_keyframe(self, kf: int) -> None:
         """KeyFrame::SetBadFlag (/root/reference/src/KeyFrame.cc:489-580):

@@ -22,18 +22,33 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+_ABI_VERSION = 2
+
+
+def _is_stale(path: str) -> bool:
+    """A library built before the current ABI lacks the version symbol.
+    Checked on the file bytes — dlopen-ing a stale .so first would pin the
+    old image for the process lifetime."""
+    try:
+        with open(path, "rb") as f:
+            return b"mg_abi_version" not in f.read()
+    except OSError:
+        return True
+
+
 def _ensure_built() -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.isdir(_MAKE_DIR):
+    needs_build = not os.path.exists(_LIB_PATH) or _is_stale(_LIB_PATH)
+    if needs_build and os.path.isdir(_MAKE_DIR):
         try:
-            subprocess.run(["make", "-s"], cwd=_MAKE_DIR, check=True,
+            subprocess.run(["make", "-s", "-B"], cwd=_MAKE_DIR, check=True,
                            capture_output=True, timeout=120)
         except Exception:
             return None
-    if not os.path.exists(_LIB_PATH):
+    if not os.path.exists(_LIB_PATH) or _is_stale(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
@@ -50,8 +65,13 @@ def _ensure_built() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int, i32p]
     lib.mg_local_share.argtypes = [i32p, u8p, u8p, ctypes.c_int,
                                    ctypes.c_int, ctypes.c_int, i32p]
+    lib.mg_abi_version.restype = ctypes.c_int32
+    if lib.mg_abi_version() != _ABI_VERSION:
+        return None
     lib.mg_invert_obs.argtypes = [i32p, u8p, ctypes.c_int, ctypes.c_int,
                                   ctypes.c_int, i32p, i32p]
+    lib.mg_invert_obs_slots.argtypes = [i32p, u8p, ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, i32p, i32p, i32p]
     lib.mg_share_from_index.argtypes = [i32p, i32p, i64p, ctypes.c_int,
                                         ctypes.c_int, i32p]
     lib.mg_update_point_stats.argtypes = [
@@ -136,6 +156,27 @@ def invert_obs(kf_pt: np.ndarray, kf_valid: np.ndarray, n_points: int):
                       _ptr(buf, ctypes.c_int32))
     total = int(offsets[-1])
     return offsets, buf[:total].copy()
+
+
+def invert_obs_slots(kf_pt: np.ndarray, kf_valid: np.ndarray, n_points: int):
+    """-> (offsets [P+1] int32, obs_kf [total] int32, obs_slot [total]
+    int32) CSR point->(keyframe, keypoint slot) index, or None without the
+    native engine."""
+    lib = _ensure_built()
+    if lib is None:
+        return None
+    k, n = kf_pt.shape
+    kf_pt = np.ascontiguousarray(kf_pt, np.int32)
+    kv = np.ascontiguousarray(kf_valid, np.uint8)
+    offsets = np.zeros(n_points + 1, np.int32)
+    buf_kf = np.zeros(k * n, np.int32)
+    buf_slot = np.zeros(k * n, np.int32)
+    lib.mg_invert_obs_slots(
+        _ptr(kf_pt, ctypes.c_int32), _ptr(kv, ctypes.c_uint8),
+        k, n, n_points, _ptr(offsets, ctypes.c_int32),
+        _ptr(buf_kf, ctypes.c_int32), _ptr(buf_slot, ctypes.c_int32))
+    total = int(offsets[-1])
+    return offsets, buf_kf[:total].copy(), buf_slot[:total].copy()
 
 
 def share_from_index(offsets: np.ndarray, obs_kf: np.ndarray,

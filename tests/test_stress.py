@@ -98,6 +98,162 @@ class TestKittiScaleMap:
         print(f"\nKITTI-scale: weight_matrix {t_w*1e3:.0f} ms, "
               f"obs_count {t_c*1e3:.0f} ms, local_kfs {t_l*1e3:.0f} ms")
 
+    @staticmethod
+    def _scale_map(n_kf=1400, n_pt=150_000, n_feat=512, obs_per_kf=400):
+        from orbslam2_tpu.slammap.mapstate import MapCapacity, MapState
+        rng = np.random.default_rng(0)
+        m = MapState(MapCapacity(max_keyframes=1536, max_points=150_000,
+                                 n_features=n_feat))
+        m.kf_valid[:n_kf] = True
+        m.kf_order[:n_kf] = np.arange(n_kf)
+        m._kf_counter = n_kf
+        m.pt_valid[:n_pt] = True
+        m.pt_stamp[:n_pt] = np.arange(n_pt)
+        m._pt_counter = n_pt
+        m.pt_pos[:n_pt] = rng.normal(size=(n_pt, 3)) * np.array([20, 2, 20]) \
+            + np.array([0, 0, 5])
+        for k in range(n_kf):
+            base = int(k / n_kf * (n_pt - 1200))
+            m.kf_pt[k, :obs_per_kf] = base + rng.choice(
+                1200, obs_per_kf, replace=False)
+            m.kf_kp_valid[k, :obs_per_kf] = True
+            m.kf_kp_xy[k, :obs_per_kf] = rng.uniform(
+                [0, 0], [320, 240], (obs_per_kf, 2))
+            m.kf_kp_octave[k] = rng.integers(0, 8, n_feat)
+        # circular trajectory so loop-closing geometry is plausible
+        ang = np.linspace(0, 2 * np.pi, n_kf, endpoint=False)
+        for k in range(n_kf):
+            c, s = np.cos(ang[k]), np.sin(ang[k])
+            m.kf_pose[k, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+            m.kf_pose[k, :3, 3] = [10 * np.sin(ang[k]), 0, 10 - 10 * np.cos(ang[k])]
+        m.kf_parent[1:n_kf] = np.arange(n_kf - 1)
+        m.pt_ref_kf[:n_pt] = np.clip(
+            (np.arange(n_pt) / (n_pt - 1200) * n_kf).astype(np.int32),
+            0, n_kf - 1)
+        m.touch_obs()
+        return m, n_kf, n_pt
+
+    def test_mapping_host_ops_at_scale(self):
+        """Keyframe culling, BA staging, and batch point erase/replace on a
+        KITTI-00-sized map must fit the reference's per-keyframe mapping
+        envelope (~100-400 ms, BASELINE.md). These were O(K*N)-per-event
+        rescans before round 2."""
+        import time
+        from orbslam2_tpu.frontend.local_mapping import LocalMapper, LocalMapperConfig
+        from orbslam2_tpu.geometry.camera import PinholeCamera
+        from orbslam2_tpu.slammap import covisibility
+
+        m, n_kf, n_pt = self._scale_map()
+        cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                            width=320, height=240, bf=26.0)
+        mapper = LocalMapper(m, cam, LocalMapperConfig())
+        w = covisibility.weight_matrix(m)
+        kf = 700
+
+        m.obs_index()  # build the CSR index once (cached per mapping event)
+        t0 = time.perf_counter()
+        mapper._keyframe_culling(kf, w)
+        t_cull = time.perf_counter() - t0
+        assert t_cull < 2.0, f"keyframe culling {t_cull:.2f}s at KITTI scale"
+
+        # BA staging isolated from the device solve
+        staged = {}
+        import orbslam2_tpu.frontend.local_mapping as lm
+
+        def fake_ba(problem, cam_, point_fixed=None):
+            staged["n"] = int(np.asarray(problem.obs_valid).sum())
+
+            class R:
+                poses = problem.poses
+                points = problem.points
+                inlier = problem.obs_valid
+            return R()
+        orig = lm.ba.bundle_adjust
+        lm.ba.bundle_adjust = fake_ba
+        try:
+            t0 = time.perf_counter()
+            mapper._local_ba(kf, w)
+            t_ba = time.perf_counter() - t0
+        finally:
+            lm.ba.bundle_adjust = orig
+        assert staged.get("n", 0) > 1000, staged
+        assert t_ba < 2.0, f"local BA staging {t_ba:.2f}s at KITTI scale"
+
+        # batched point erase / replace (culling + fusion inner ops)
+        rng = np.random.default_rng(1)
+        drop = rng.choice(n_pt, 300, replace=False)
+        t0 = time.perf_counter()
+        m.erase_points(drop)
+        t_erase = time.perf_counter() - t0
+        assert t_erase < 1.0, f"erase_points(300) {t_erase:.2f}s"
+        live = np.where(m.pt_valid)[0]
+        pairs = [(int(live[i]), int(live[i + 1])) for i in range(0, 100, 2)]
+        t0 = time.perf_counter()
+        m.replace_points(pairs)
+        t_rep = time.perf_counter() - t0
+        assert t_rep < 1.0, f"replace_points(50) {t_rep:.2f}s"
+        print(f"\nKITTI-scale mapping: cull {t_cull*1e3:.0f} ms, "
+              f"BA staging {t_ba*1e3:.0f} ms ({staged['n']} obs), "
+              f"erase {t_erase*1e3:.0f} ms, replace {t_rep*1e3:.0f} ms")
+
+    def test_loop_correction_at_scale(self):
+        """Host staging of a full loop correction (window Sim3 propagation,
+        point remap, edge measurements, final apply) on the KITTI-sized map
+        must complete in ~seconds — with the device programs (pose graph,
+        fuse projection) stubbed so only the formerly-dispatch-bound host
+        orchestration is timed (VERDICT round 1: minutes per loop)."""
+        import time
+        import orbslam2_tpu.frontend.loop_closing as lc
+        from orbslam2_tpu.geometry.camera import PinholeCamera
+        from orbslam2_tpu.slammap import covisibility
+
+        m, n_kf, n_pt = self._scale_map()
+        # connect trajectory ends so a loop window exists
+        cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                            width=320, height=240, bf=26.0)
+        closer = lc.LoopCloser.__new__(lc.LoopCloser)
+        closer.map = m
+        closer.cam = cam
+        closer.cfg = lc.LoopCloserConfig(run_global_ba=False)
+        w = covisibility.weight_matrix(m)
+        kf, loop_kf = n_kf - 1, 0
+
+        orig_opt = lc.pose_graph.optimize_essential_graph
+        orig_search = lc.kernels.search_local_points
+        n_edges = {}
+
+        def fake_opt(poses, valid, fixed, e_i, e_j, meas, e_valid, fix_scale):
+            n_edges["e"] = int(len(np.asarray(e_i)))
+            return poses, None
+
+        class _Res:
+            pass
+
+        def fake_search(tcw, pos, desc, valid, normal, dmin, dmax, kp,
+                        taken, r, cam_, sf, nl, max_hamming=None):
+            res = _Res()
+            res.assoc = np.full(np.asarray(kp.xy).shape[0], -1, np.int32)
+            return None, res
+        lc.pose_graph.optimize_essential_graph = fake_opt
+        lc.kernels.search_local_points = fake_search
+        import orbslam2_tpu.frontend.local_mapping as lm
+        orig_lm_search = lm.kernels.search_local_points
+        lm.kernels.search_local_points = fake_search
+        try:
+            s_cw = m.kf_pose[kf].copy()
+            s_cw[:3, 3] += 0.05  # small loop discrepancy
+            t0 = time.perf_counter()
+            closer._correct_loop(kf, loop_kf, s_cw, w)
+            t_loop = time.perf_counter() - t0
+        finally:
+            lc.pose_graph.optimize_essential_graph = orig_opt
+            lc.kernels.search_local_points = orig_search
+            lm.kernels.search_local_points = orig_lm_search
+        assert n_edges["e"] > n_kf - 2, n_edges  # spanning tree at least
+        assert t_loop < 8.0, f"loop-correction host staging {t_loop:.2f}s"
+        print(f"\nKITTI-scale loop correction: {t_loop*1e3:.0f} ms "
+              f"({n_edges['e']} edges, {n_pt} points remapped)")
+
 
 class TestRobustness:
     """Real-dataset failure modes on synthetic worlds (ROADMAP item 2):
