@@ -52,7 +52,10 @@ class SLAMConfig:
     localization_only: bool = False
     # run local mapping + loop closing on a background worker thread
     # (reference thread architecture); False = synchronous per keyframe
-    async_mapping: bool = False
+    # background mapping/loop-closing worker thread — the reference's
+    # default architecture (System.cc:97-112 spawns the threads
+    # unconditionally); False runs mapping inline per keyframe
+    async_mapping: bool = True
     # testing/benchmark hook: unconditionally insert a keyframe every N
     # frames (None = reference keyframe-decision logic only)
     force_kf_every: Optional[int] = None
@@ -819,7 +822,17 @@ class Tracker:
         chaining through culled keyframes via stored relative poses
         (System::SaveTrajectoryKITTI logic, System.cc:426-506: one pose per
         frame, lost frames carried forward). For TUM export, which skips
-        lost frames (System.cc:380-385), pair with `trajectory_lost_mask`."""
+        lost frames (System.cc:380-385), pair with `trajectory_lost_mask`.
+
+        Drains the async mapping queue first and reads under the map lock:
+        the reference requires Shutdown() before its savers (System.cc:
+        353-356); self-synchronizing is strictly safer."""
+        if self.mapping_worker is not None:
+            self.mapping_worker.wait_idle()
+        with self.map_lock:
+            return self._full_trajectory_twc_locked()
+
+    def _full_trajectory_twc_locked(self) -> np.ndarray:
         out = []
         last = np.eye(4, dtype=np.float32)
         for e in self.trajectory:

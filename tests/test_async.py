@@ -52,3 +52,66 @@ class TestAsyncMapping:
         system = SLAMSystem(cfg, Sensor.RGBD)
         system.shutdown()
         system.shutdown()
+
+    def test_async_is_default(self):
+        """The reference spawns the mapping/loop threads unconditionally
+        (System.cc:97-112); async is our default architecture too."""
+        assert SLAMConfig(cam=CAM).async_mapping
+        system = SLAMSystem(SLAMConfig(
+            cam=CAM, orb=ORBConfig(n_features=800, n_levels=4),
+            max_keyframes=32, max_points=4096, local_point_cap=1024),
+            Sensor.RGBD)
+        assert system.mapping_worker is not None
+        system.shutdown()
+
+
+class TestAsyncRaces:
+    def test_tracker_races_worker_with_async_gba(self):
+        """Aggressive keyframe cadence + async GBA landing mid-stream: the
+        tracker keeps consuming map snapshots while the worker mutates the
+        map and a GBA thread applies corrections. Asserts no torn state:
+        every valid point has a live reference KF, kf_pt only points at
+        valid points, device-mirror generations are monotone, and the
+        trajectory stays sane."""
+        from orbslam2_tpu.place.pretrained import get_default_vocabulary
+        seq = SyntheticSequence(CAM, n_frames=100, trajectory="panorama",
+                                seed=7, world="room")
+        cfg = SLAMConfig(
+            cam=CAM, orb=ORBConfig(n_features=800, n_levels=4),
+            th_depth=4.0, max_keyframes=96, max_points=16384,
+            local_point_cap=2048, max_frames_between_kf=5,
+            min_init_features=300, force_kf_every=3, async_mapping=True)
+        system = SLAMSystem(cfg, Sensor.RGBD,
+                            vocabulary=get_default_vocabulary())
+        system.loop_closer.cfg.consistency_threshold = 2
+        system.loop_closer.cfg.async_gba = True
+        gens = []
+        ok = 0
+        for i in range(seq.n_frames):
+            gray, depth = seq.render(i)
+            tcw = system.track_rgbd(gray, depth, i / seq.fps)
+            ok += tcw is not None
+            gens.append(system.map.pt_dirty_gen)
+            if i % 10 == 0:
+                # consistency snapshot under the map lock, mid-race
+                with system.tracker.map_lock:
+                    m = system.map
+                    obs = m.kf_pt[m.kf_valid]
+                    live_obs = obs[obs >= 0]
+                    assert m.pt_valid[live_obs].all(), \
+                        "keyframe observation points at a dead point"
+                    assert np.isfinite(m.kf_pose[m.kf_valid]).all()
+                    assert np.isfinite(m.pt_pos[m.pt_valid]).all()
+        system.wait_mapping_idle()
+        system.loop_closer.wait_gba()
+        assert ok >= seq.n_frames - 2
+        assert system.loop_closer.n_loops_closed >= 1
+        assert system.loop_closer.n_gba_applied + \
+            system.loop_closer.n_gba_superseded >= 1
+        # mirror generations are strictly monotone (no stale-mirror reuse)
+        assert all(b >= a for a, b in zip(gens, gens[1:]))
+        est = system.tracker.full_trajectory_twc()
+        gt = np.stack([np.linalg.inv(seq.poses[i])
+                       for i in range(seq.n_frames)])
+        assert ate_rmse(est, gt) < 0.15
+        system.shutdown()

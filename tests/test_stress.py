@@ -234,11 +234,10 @@ class TestKittiScaleMap:
             res = _Res()
             res.assoc = np.full(np.asarray(kp.xy).shape[0], -1, np.int32)
             return None, res
+        # NOTE: lc.kernels and local_mapping's kernels are the same module
+        # object — patch the one shared attribute exactly once
         lc.pose_graph.optimize_essential_graph = fake_opt
         lc.kernels.search_local_points = fake_search
-        import orbslam2_tpu.frontend.local_mapping as lm
-        orig_lm_search = lm.kernels.search_local_points
-        lm.kernels.search_local_points = fake_search
         try:
             s_cw = m.kf_pose[kf].copy()
             s_cw[:3, 3] += 0.05  # small loop discrepancy
@@ -248,7 +247,6 @@ class TestKittiScaleMap:
         finally:
             lc.pose_graph.optimize_essential_graph = orig_opt
             lc.kernels.search_local_points = orig_search
-            lm.kernels.search_local_points = orig_lm_search
         assert n_edges["e"] > n_kf - 2, n_edges  # spanning tree at least
         assert t_loop < 8.0, f"loop-correction host staging {t_loop:.2f}s"
         print(f"\nKITTI-scale loop correction: {t_loop*1e3:.0f} ms "
