@@ -19,6 +19,22 @@ from orbslam2_tpu.ops.orb import Keypoints, ORBExtractor
 
 
 @dataclasses.dataclass
+class HostKeypoints:
+    """Numpy copies of a frame's device arrays, fetched ONCE per frame in a
+    single batched device_get (over the remote relay every separate
+    np.asarray is a ~30 ms round trip; the keyframe-creation path alone
+    had eight)."""
+    xy: np.ndarray
+    octave: np.ndarray
+    angle: np.ndarray
+    response: np.ndarray
+    desc: np.ndarray
+    valid: np.ndarray
+    ur: np.ndarray
+    depth: np.ndarray
+
+
+@dataclasses.dataclass
 class Frame:
     """One processed input frame. Device arrays for kernels, numpy for
     host bookkeeping."""
@@ -30,10 +46,60 @@ class Frame:
     tcw: np.ndarray          # [4, 4] float32 pose estimate (world->cam)
     pt_ids: np.ndarray       # [N] int32 map-point id per keypoint (-1 = none)
     is_outlier: np.ndarray   # [N] bool pose-opt outlier flag
+    _host: Optional[HostKeypoints] = None
+    _host_depth: Optional[tuple] = None
 
     @property
     def n(self) -> int:
         return self.kp.n
+
+    def host_depth_ur(self):
+        """-> (depth [N], ur [N]) numpy, one cached round trip (the
+        per-frame keyframe decision reads depth, Tracking.cc:1229-1247)."""
+        if self._host is not None:
+            return self._host.depth, self._host.ur
+        if self._host_depth is None:
+            self._host_depth = jax.device_get((self.depth, self.ur))
+        return self._host_depth
+
+    def host_kp(self) -> HostKeypoints:
+        """Full keypoint fetch (keyframe creation / init / reloc), one
+        cached round trip."""
+        if self._host is None:
+            xy, octv, ang, resp, desc, val, ur, depth = jax.device_get(
+                (self.kp.xy, self.kp.octave, self.kp.angle,
+                 self.kp.response, self.kp.desc, self.kp.valid,
+                 self.ur, self.depth))
+            self._host = HostKeypoints(xy=xy, octave=octv, angle=ang,
+                                       response=resp, desc=desc, valid=val,
+                                       ur=ur, depth=depth)
+        return self._host
+
+
+@functools.lru_cache(maxsize=8)
+def _rgbd_program(extractor: ORBExtractor, cam: PinholeCamera):
+    """One fused jitted program per (extractor, camera): ORB extraction,
+    keypoint undistortion, depth sampling, and virtual-right synthesis
+    uR = u - bf/d (Frame::UndistortKeyPoints + ComputeStereoFromRGBD,
+    /root/reference/src/Frame.cc:470-515, 754-775) — a single device
+    dispatch per RGB-D frame."""
+    def run(gray, depth_img):
+        kp = extractor(gray)
+        und_xy = cam.undistort_points(kp.xy)
+        # depth lookup at raw (distorted) keypoint coords
+        xs = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0,
+                      cam.width - 1)
+        ys = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0,
+                      cam.height - 1)
+        d = depth_img[ys, xs]
+        has_depth = (d > 0) & kp.valid
+        ur = jnp.where(has_depth,
+                       und_xy[:, 0] - cam.bf / jnp.where(d > 0, d, 1.0), -1.0)
+        kp = Keypoints(
+            xy=und_xy, response=kp.response, angle=kp.angle,
+            octave=kp.octave, size=kp.size, desc=kp.desc, valid=kp.valid)
+        return kp, ur, jnp.where(has_depth, d, -1.0)
+    return jax.jit(run)
 
 
 def build_frame_rgbd(
@@ -45,30 +111,17 @@ def build_frame_rgbd(
     cam: PinholeCamera,
     extract_fn=None,
 ) -> Frame:
-    """RGB-D frame: extract ORB, undistort, sample depth at keypoints and
-    synthesize virtual right coords uR = u - bf/d
-    (reference: Frame::ComputeStereoFromRGBD /root/reference/src/Frame.cc:754-775).
-    """
-    fn = extract_fn if extract_fn is not None else extractor
-    kp = fn(jnp.asarray(gray, dtype=jnp.float32))
-    und_xy = cam.undistort_points(kp.xy)
-    # depth lookup at raw (distorted) keypoint coords
-    xs = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, gray.shape[1] - 1)
-    ys = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, gray.shape[0] - 1)
-    d = jnp.asarray(depth_img)[ys, xs]
-    has_depth = (d > 0) & kp.valid
-    ur = jnp.where(has_depth, und_xy[:, 0] - cam.bf / jnp.where(d > 0, d, 1.0), -1.0)
-    kp = Keypoints(
-        xy=und_xy, response=kp.response, angle=kp.angle, octave=kp.octave,
-        size=kp.size, desc=kp.desc, valid=kp.valid,
-    )
+    """RGB-D frame via the fused single-dispatch program (_rgbd_program)."""
+    kp, ur, depth = _rgbd_program(extractor, cam)(
+        jnp.asarray(gray, dtype=jnp.float32),
+        jnp.asarray(depth_img, dtype=jnp.float32))
     n = kp.n
     return Frame(
         frame_id=frame_id,
         timestamp=timestamp,
         kp=kp,
         ur=ur,
-        depth=jnp.where(has_depth, d, -1.0),
+        depth=depth,
         tcw=np.eye(4, dtype=np.float32),
         pt_ids=np.full(n, -1, np.int32),
         is_outlier=np.zeros(n, bool),
@@ -131,6 +184,18 @@ def build_frame_stereo(
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _mono_program(extractor: ORBExtractor, cam: PinholeCamera):
+    """Fused extraction + undistortion (one dispatch per mono frame)."""
+    def run(gray):
+        kp = extractor(gray)
+        und_xy = cam.undistort_points(kp.xy)
+        return Keypoints(
+            xy=und_xy, response=kp.response, angle=kp.angle,
+            octave=kp.octave, size=kp.size, desc=kp.desc, valid=kp.valid)
+    return jax.jit(run)
+
+
 def build_frame_mono(
     frame_id: int,
     timestamp: float,
@@ -139,13 +204,7 @@ def build_frame_mono(
     cam: PinholeCamera,
     extract_fn=None,
 ) -> Frame:
-    fn = extract_fn if extract_fn is not None else extractor
-    kp = fn(jnp.asarray(gray, dtype=jnp.float32))
-    und_xy = cam.undistort_points(kp.xy)
-    kp = Keypoints(
-        xy=und_xy, response=kp.response, angle=kp.angle, octave=kp.octave,
-        size=kp.size, desc=kp.desc, valid=kp.valid,
-    )
+    kp = _mono_program(extractor, cam)(jnp.asarray(gray, dtype=jnp.float32))
     n = kp.n
     neg = jnp.full((n,), -1.0)
     return Frame(

@@ -206,6 +206,96 @@ def search_by_descriptor(
     return jnp.where(won, best_kp, -1), best_dist
 
 
+class TrackStepResult(NamedTuple):
+    """Fused search+optimize step outputs (fetched in one round trip)."""
+    tcw: jax.Array        # [4, 4] optimized pose
+    n_inliers: jax.Array  # [] int32
+    inlier: jax.Array     # [N] bool per keypoint slot
+    assoc: jax.Array      # [N] keypoint -> candidate row (-1 = none)
+    n_matches: jax.Array  # [] int32 matches fed to the optimizer
+    visible: jax.Array    # [C] bool candidate passed the frustum gates
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def motion_model_step(
+    tcw_pred: jax.Array,
+    last_pt_pos: jax.Array,    # [N, 3] world pos per last-frame slot
+    last_pt_valid: jax.Array,  # [N]
+    last_desc: jax.Array,
+    last_octave: jax.Array,
+    last_angle: jax.Array,
+    kp: Keypoints,
+    frame_ur: jax.Array,
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> TrackStepResult:
+    """TrackWithMotionModel's device work in ONE program (Tracking.cc:
+    1036-1123): projection search at radius 15, conditional widen to 30
+    (the reference's 2*th retry, cc:1070-1076), observation staging, and
+    robust pose LM. One dispatch + one fetch per frame instead of four —
+    kernel-launch and host-round-trip hygiene is the difference between
+    ~5 programs/frame and ~2 on the production path."""
+    res = search_by_projection_last(
+        tcw_pred, last_pt_pos, last_pt_valid, last_desc, last_octave,
+        last_angle, kp, 15.0, cam, scale_factor, n_levels)
+    n15 = (res.assoc >= 0).sum()
+    assoc = jax.lax.cond(
+        n15 < 20,
+        lambda _: search_by_projection_last(
+            tcw_pred, last_pt_pos, last_pt_valid, last_desc, last_octave,
+            last_angle, kp, 30.0, cam, scale_factor, n_levels).assoc,
+        lambda _: res.assoc,
+        None)
+    matched = assoc >= 0
+    pos_kp = last_pt_pos[jnp.clip(assoc, 0, last_pt_pos.shape[0] - 1)]
+    obs = build_pose_obs_from_frame(kp, frame_ur, pos_kp, matched,
+                                    scale_factor)
+    tcw, inlier, n_in = pose_opt.pose_optimization(tcw_pred, obs, cam)
+    return TrackStepResult(
+        tcw=tcw, n_inliers=n_in, inlier=inlier, assoc=assoc,
+        n_matches=matched.sum(), visible=jnp.zeros((1,), bool))
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor", "n_levels"))
+def local_map_step(
+    tcw: jax.Array,
+    ids: jax.Array,            # [C] rows into the device map mirror
+    sel_valid: jax.Array,      # [C] candidate mask
+    pt_pos_all: jax.Array,
+    pt_desc_all: jax.Array,
+    pt_valid_all: jax.Array,
+    pt_normal_all: jax.Array,
+    pt_min_all: jax.Array,
+    pt_max_all: jax.Array,
+    kp: Keypoints,
+    frame_ur: jax.Array,
+    prior_pos: jax.Array,      # [N, 3] world pos for already-matched slots
+    prior_mask: jax.Array,     # [N] bool slot already has an association
+    radius_mult: float,
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+) -> TrackStepResult:
+    """TrackLocalMap's device work in ONE program (Tracking.cc:1125-1188):
+    gathered local-point projection search + merged observation staging +
+    the frame's second pose optimization."""
+    info, res = search_local_points_gathered(
+        tcw, ids, sel_valid, pt_pos_all, pt_desc_all, pt_valid_all,
+        pt_normal_all, pt_min_all, pt_max_all, kp, prior_mask,
+        radius_mult, cam, scale_factor, n_levels)
+    assoc = res.assoc
+    newly = assoc >= 0
+    cand_pos = pt_pos_all[ids][jnp.clip(assoc, 0, ids.shape[0] - 1)]
+    pos = jnp.where(newly[:, None], cand_pos, prior_pos)
+    used = prior_mask | newly
+    obs = build_pose_obs_from_frame(kp, frame_ur, pos, used, scale_factor)
+    tcw_new, inlier, n_in = pose_opt.pose_optimization(tcw, obs, cam)
+    return TrackStepResult(
+        tcw=tcw_new, n_inliers=n_in, inlier=inlier, assoc=assoc,
+        n_matches=used.sum(), visible=info.visible)
+
+
 def build_pose_obs_from_frame(
     frame_kp: Keypoints,
     frame_ur: jax.Array,

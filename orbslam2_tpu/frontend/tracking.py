@@ -217,16 +217,16 @@ class Tracker:
     # initialization (Tracking::StereoInitialization, Tracking.cc:562-614)
     # ------------------------------------------------------------------
     def _stereo_initialization(self, fr: frame_mod.Frame) -> bool:
-        depth = np.asarray(fr.depth)
-        valid = np.asarray(fr.kp.valid)
+        h = fr.host_kp()
+        depth, valid = h.depth, h.valid
         n_usable = int(valid.sum())
         if n_usable < self.cfg.min_init_features:
             return False
         fr.tcw = np.eye(4, dtype=np.float32)
         kf = self._insert_keyframe(fr)
         # create a map point for every keypoint with positive depth
-        xy = np.asarray(fr.kp.xy)
-        desc = np.asarray(fr.kp.desc)
+        xy = h.xy
+        desc = h.desc
         has_d = valid & (depth > 0)
         import jax.numpy as jnp_
         pts_cam = np.asarray(self.cam.backproject(jnp_.asarray(xy), jnp_.asarray(depth)))
@@ -254,7 +254,7 @@ class Tracker:
     # Tracking.cc:626-857 + CreateInitialMapMonocular:738)
     # ------------------------------------------------------------------
     def _monocular_initialization(self, fr: frame_mod.Frame) -> bool:
-        n_kp = int(np.asarray(fr.kp.valid).sum())
+        n_kp = int(fr.host_kp().valid.sum())
         if self._init_ref is None:
             if n_kp > 100:
                 self._init_ref = fr
@@ -281,7 +281,7 @@ class Tracker:
         from orbslam2_tpu.solvers.initializer import initialize_two_view
         uv2 = np.zeros((ref.n, 2), np.float32)
         sel = best_kp >= 0
-        uv2[sel] = np.asarray(fr.kp.xy)[best_kp[sel]]
+        uv2[sel] = fr.host_kp().xy[best_kp[sel]]
         init = initialize_two_view(
             ref.kp.xy, jnp.asarray(uv2), jnp.asarray(sel),
             self.cam.k_matrix(), jax.random.PRNGKey(int(fr.frame_id)))
@@ -356,15 +356,15 @@ class Tracker:
         if not self.cfg.localization_only:
             return
         last = self.last_frame
-        depth = np.asarray(last.depth)
-        valid = np.asarray(last.kp.valid)
+        h = last.host_kp()
+        depth, valid = h.depth, h.valid
         cand = np.where(valid & (depth > 0) & (last.pt_ids < 0))[0]
         if len(cand) == 0:
             return
         order = cand[np.argsort(depth[cand])]
         close = order[(depth[order] < self.cfg.th_depth)]
         take = order[:max(len(close), min(100, len(order)))]
-        xy = np.asarray(last.kp.xy)[take]
+        xy = h.xy[take]
         pc = np.asarray(self.cam.backproject(
             jnp.asarray(xy), jnp.asarray(depth[take])))
         twc = np.linalg.inv(last.tcw)
@@ -426,23 +426,15 @@ class Tracker:
             only_vo = vo & ~has_map_pt
             pos[only_vo] = self._vo_pos[only_vo]
 
-        res = kernels.search_by_projection_last(
+        # fused device step: search (with conditional widen), observation
+        # staging, and robust pose LM in ONE program + ONE fetch
+        step = jax.device_get(kernels.motion_model_step(
             jnp.asarray(tcw_pred), jnp.asarray(pos), jnp.asarray(has_pt),
-            last.kp.desc, last.kp.octave, last.kp.angle,
-            fr.kp, 15.0, self.cam,
-            self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
-        assoc = np.asarray(res.assoc)  # [N_cur] -> last-frame slot
-        n_matches = int((assoc >= 0).sum())
-        if n_matches < 20:
-            # widen the window once (reference retries with 2*th)
-            res = kernels.search_by_projection_last(
-                jnp.asarray(tcw_pred), jnp.asarray(pos), jnp.asarray(has_pt),
-                last.kp.desc, last.kp.octave, last.kp.angle,
-                fr.kp, 30.0, self.cam,
-                self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
-            assoc = np.asarray(res.assoc)
-            if (assoc >= 0).sum() < 20:
-                return False
+            last.kp.desc, last.kp.octave, last.kp.angle, fr.kp, fr.ur,
+            self.cam, self.cfg.orb.scale_factor, self.cfg.orb.n_levels))
+        assoc = step.assoc
+        if int(step.n_matches) < 20:
+            return False
 
         fr.pt_ids[:] = -1
         m = assoc >= 0
@@ -458,8 +450,7 @@ class Tracker:
             aux_mask[idx] = True
             aux_pos[idx] = pos[assoc[idx]]
         fr.tcw = tcw_pred
-        ok = self._optimize_frame_pose(fr, min_inliers=10,
-                                       aux_pos=aux_pos, aux_mask=aux_mask)
+        ok = self._apply_pose_result(fr, step, min_inliers=10)
         # keep the temporal-point associations for the local-map stage: the
         # reference's localization-mode mnMatchesInliers counts VO points
         # too (Tracking.cc:1158-1169, mbOnlyTracking branch)
@@ -566,9 +557,10 @@ class Tracker:
             pids = self.map.kf_pt[cand, qs]
             pts[:n] = self.map.pt_pos[pids]
             kp_idx = best_kp[qs]
-            uv[:n] = np.asarray(fr.kp.xy)[kp_idx]
+            hk = fr.host_kp()
+            uv[:n] = hk.xy[kp_idx]
             sigma2[:n] = self.cfg.orb.scale_factor ** (
-                2.0 * np.asarray(fr.kp.octave)[kp_idx])
+                2.0 * hk.octave[kp_idx])
             valid[:n] = self.map.pt_valid[pids]
             res = epnp_ransac(
                 jnp.asarray(pts), jnp.asarray(uv), jnp.asarray(valid),
@@ -605,9 +597,26 @@ class Tracker:
         kp_taken = fr.pt_ids >= 0
         radius_mult = 3.0 if fr.frame_id - self.last_reloc_frame_id < 2 else 1.0
 
+        # prior associations (motion model / reloc / localization-mode VO
+        # points) keep their staged world positions through the second
+        # pose optimization
+        aux_pos = getattr(self, "_aux_pos", None) \
+            if self.cfg.localization_only else None
+        aux_mask = getattr(self, "_aux_mask", None) \
+            if self.cfg.localization_only else None
+        prior_mask = kp_taken.copy()
+        prior_pos = np.zeros((fr.n, 3), np.float32)
+        prior_pos[kp_taken] = self.map.pt_pos[fr.pt_ids[kp_taken]]
+        if aux_mask is not None:
+            sel_aux = aux_mask & ~prior_mask
+            prior_mask |= sel_aux
+            prior_pos[sel_aux] = aux_pos[sel_aux]
+
+        min_inliers = 30 if fr.frame_id - self.last_reloc_frame_id > 30 else 50
         if self.cfg.device_local_map:
             # device-resident map: ship only the local id list; rows are
-            # gathered on device from the synced mirror
+            # gathered on device from the synced mirror. Fused program:
+            # projection search + staging + second pose optimization.
             if self._mirror is None:
                 from orbslam2_tpu.slammap.device_map import DeviceMapMirror
                 self._mirror = DeviceMapMirror()
@@ -617,12 +626,14 @@ class Tracker:
             ids[:n_local] = pt_ids
             sel = np.zeros(cap, bool)
             sel[:n_local] = ~already
-            info, res = kernels.search_local_points_gathered(
+            step = jax.device_get(kernels.local_map_step(
                 jnp.asarray(fr.tcw), jnp.asarray(ids), jnp.asarray(sel),
                 mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
                 mir.pt_min_dist, mir.pt_max_dist,
-                fr.kp, jnp.asarray(kp_taken), radius_mult, self.cam,
-                self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+                fr.kp, fr.ur, jnp.asarray(prior_pos),
+                jnp.asarray(prior_mask), radius_mult, self.cam,
+                self.cfg.orb.scale_factor, self.cfg.orb.n_levels))
+            assoc, visible = step.assoc, step.visible
         else:
             c = cap
             pos = np.zeros((c, 3), np.float32)
@@ -643,25 +654,43 @@ class Tracker:
                 jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
                 fr.kp, jnp.asarray(kp_taken), radius_mult, self.cam,
                 self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
-        assoc = np.asarray(res.assoc)  # [N_kp] -> candidate row
+            assoc = np.asarray(res.assoc)
+            visible = np.asarray(info.visible)
+            step = None
+
         newly = assoc >= 0
         fr.pt_ids[newly] = pt_ids[assoc[newly]]
-
         # visibility counters (SearchLocalPoints, Tracking.cc:1403-1483)
-        visible_rows = np.asarray(info.visible)[:n_local]
-        self.map.increase_visible(pt_ids[visible_rows])
+        self.map.increase_visible(pt_ids[visible[:n_local]])
 
-        aux_pos = getattr(self, "_aux_pos", None) \
-            if self.cfg.localization_only else None
-        aux_mask = getattr(self, "_aux_mask", None) \
-            if self.cfg.localization_only else None
-        ok = self._optimize_frame_pose(fr, min_inliers=30 if
-                                       fr.frame_id - self.last_reloc_frame_id > 30 else 50,
-                                       aux_pos=aux_pos, aux_mask=aux_mask)
+        if step is not None:
+            ok = self._apply_pose_result(fr, step, min_inliers)
+        else:
+            ok = self._optimize_frame_pose(fr, min_inliers,
+                                           aux_pos=aux_pos, aux_mask=aux_mask)
         if ok:
             tracked = fr.pt_ids[(fr.pt_ids >= 0) & ~fr.is_outlier]
             self.map.increase_found(tracked)
         return ok
+
+    # ------------------------------------------------------------------
+    def _apply_pose_result(self, fr: frame_mod.Frame, step,
+                           min_inliers: int) -> bool:
+        """Host bookkeeping after a fused search+optimize device step
+        (already device_get: numpy): outlier clearing (Tracking.cc:
+        1100-1119), inlier counters, pose acceptance."""
+        has_pt = fr.pt_ids >= 0
+        inlier = step.inlier
+        n_in = int(step.n_inliers)
+        fr.is_outlier = has_pt & ~inlier
+        fr.pt_ids[fr.is_outlier] = -1
+        self.matches_inliers = n_in
+        # inliers that are real map points (nmatchesMap, Tracking.cc:1104)
+        self._map_inliers = int((fr.pt_ids >= 0).sum())
+        if n_in < min_inliers:
+            return False
+        fr.tcw = np.asarray(step.tcw)
+        return True
 
     # ------------------------------------------------------------------
     def _optimize_frame_pose(self, fr: frame_mod.Frame, min_inliers: int,
@@ -718,7 +747,7 @@ class Tracker:
         ref_tracked = int(((ref_pts >= 0) & (obs_count[np.maximum(ref_pts, 0)] >= min_obs)).sum())
 
         # close-point statistics (RGBD/stereo, Tracking.cc:1229-1247)
-        depth = np.asarray(fr.depth)
+        depth, _ = fr.host_depth_ur()
         close = (depth > 0) & (depth < self.cfg.th_depth)
         tracked_close = int((close & (fr.pt_ids >= 0) & ~fr.is_outlier).sum())
         non_tracked_close = int((close & (fr.pt_ids < 0)).sum())
@@ -748,13 +777,13 @@ class Tracker:
             if self.map.pt_valid[fr.pt_ids[i]]:
                 self.map.add_observation(kf, i, int(fr.pt_ids[i]))
         # RGBD/stereo: spawn points for the closest unmatched keypoints
-        depth = np.asarray(fr.depth)
-        valid = np.asarray(fr.kp.valid)
+        h = fr.host_kp()
+        depth, valid = h.depth, h.valid
         candidates = np.where(valid & (depth > 0) & (fr.pt_ids < 0))[0]
         if len(candidates):
             order = candidates[np.argsort(depth[candidates])]
-            xy = np.asarray(fr.kp.xy)
-            desc = np.asarray(fr.kp.desc)
+            xy = h.xy
+            desc = h.desc
             pts_cam = np.asarray(self.cam.backproject(
                 jnp.asarray(xy[order]), jnp.asarray(depth[order])))
             twc = np.linalg.inv(fr.tcw)
@@ -791,18 +820,19 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _insert_keyframe(self, fr: frame_mod.Frame) -> int:
+        h = fr.host_kp()  # one batched fetch for all eight arrays
         return self.map.add_keyframe(
             pose=fr.tcw,
             timestamp=fr.timestamp,
             frame_id=fr.frame_id,
-            kp_xy=np.asarray(fr.kp.xy),
-            kp_octave=np.asarray(fr.kp.octave),
-            kp_angle=np.asarray(fr.kp.angle),
-            kp_response=np.asarray(fr.kp.response),
-            kp_desc=np.asarray(fr.kp.desc),
-            kp_valid=np.asarray(fr.kp.valid),
-            kp_ur=np.asarray(fr.ur),
-            kp_depth=np.asarray(fr.depth),
+            kp_xy=h.xy,
+            kp_octave=h.octave,
+            kp_angle=h.angle,
+            kp_response=h.response,
+            kp_desc=h.desc,
+            kp_valid=h.valid,
+            kp_ur=h.ur,
+            kp_depth=h.depth,
         )
 
     # ------------------------------------------------------------------
