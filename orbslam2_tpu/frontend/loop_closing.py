@@ -109,7 +109,7 @@ class LoopCloser:
         min_score = 1.0
         for nb in neighbors:
             if self.kfdb.valid[nb]:
-                s = self.kfdb.voc.score_l1(v, self.kfdb.bow[nb])
+                s = self.kfdb.score_kf(v, nb)
                 min_score = min(min_score, s)
         recent = np.abs(m.kf_order - int(m.kf_order[kf])) <= self.cfg.recent_exclude
         cands = self.kfdb.detect_loop_candidates(kf, min_score, w, m,

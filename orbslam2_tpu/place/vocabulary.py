@@ -34,26 +34,41 @@ class Vocabulary:
 
     levels: L; branching: k. Node layout: level l has k^(l+1) slots
     (children of every level-(l-1) slot, contiguous). centers[l] is
-    [k^(l+1), 256] in {-1,+1} float32 (zero rows for dead nodes).
-    Leaves = last level; word id = leaf slot index.
+    [k^(l+1), 256] in {-1, 0, +1} (int8 storage; 0 rows = dead nodes).
+    Leaves = last level; word id = leaf slot index. At the reference's
+    tree scale (k=10 depth-5/6, TemplatedVocabulary.h:1358) the center
+    tables reach ~100 MB — stored int8, cast once at transform staging.
     """
     k: int
     levels: int
-    centers: list          # per level: np.ndarray [k^(l+1), 256] float32
+    centers: list          # per level: np.ndarray [k^(l+1), 256] int8/f32
     word_weights: np.ndarray  # [n_words] idf weights
     n_words: int
+    _transform_jit: Optional[object] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     def transform_packed(self, desc_packed, valid):
-        """[N, 8] uint32 -> word ids [N] int32 (-1 for invalid)."""
-        bits = unpack_bits(jnp.asarray(desc_packed)).astype(jnp.float32) * 2.0 - 1.0
-        return self.transform_pm1(bits, jnp.asarray(valid))
+        """[N, 8] uint32 -> word ids [N] int32 (-1 for invalid).
+
+        One cached jitted program per vocabulary: the whole L-level descent
+        (gathers + Hamming matmuls) is a single device dispatch — the eager
+        per-level op chain costs ~3L round trips per keyframe over a remote
+        device link."""
+        if self._transform_jit is None:
+            self._transform_jit = jax.jit(self._descend)
+        return self._transform_jit(jnp.asarray(desc_packed),
+                                   jnp.asarray(valid))
+
+    def _descend(self, desc_packed, valid):
+        bits = unpack_bits(desc_packed).astype(jnp.float32) * 2.0 - 1.0
+        return self.transform_pm1(bits, valid)
 
     def transform_pm1(self, bits_pm1, valid):
         """[N, 256] {-1,+1} -> word ids [N] int32."""
         k = self.k
         node = jnp.zeros(bits_pm1.shape[0], jnp.int32)  # slot at current level
         for lvl in range(self.levels):
-            c = jnp.asarray(self.centers[lvl])  # [k^(lvl+1), 256]
+            c = jnp.asarray(self.centers[lvl]).astype(jnp.float32)
             # children of `node` are slots node*k .. node*k+k-1
             child_base = node * k
             cand = c[child_base[:, None] + jnp.arange(k)[None, :]]  # [N, k, 256]
@@ -91,7 +106,7 @@ def train_vocabulary(descriptors_packed: np.ndarray, k: int = 10, levels: int = 
     bits = np.asarray(unpack_bits(jnp.asarray(descriptors_packed))).astype(np.int8)
     n = len(bits)
 
-    centers_by_level = [np.zeros((k ** (l + 1), DESC_BITS), np.float32)
+    centers_by_level = [np.zeros((k ** (l + 1), DESC_BITS), np.int8)
                         for l in range(levels)]
 
     def kmedians(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -101,9 +116,10 @@ def train_vocabulary(descriptors_packed: np.ndarray, k: int = 10, levels: int = 
         idx = rng.choice(m, size=n_c, replace=False)
         cents = data[idx].astype(np.int8)
         assign = np.zeros(m, np.int64)
+        data_f = (data * 2 - 1).astype(np.float32)  # hoisted: reused per iter
         for _ in range(iters):
             # hamming distance via +-1 dot
-            d = (data * 2 - 1).astype(np.float32) @ (cents.T * 2 - 1).astype(np.float32)
+            d = data_f @ (cents.T * 2 - 1).astype(np.float32)
             assign = d.argmax(axis=1)
             new = []
             for c in range(n_c):
@@ -116,7 +132,7 @@ def train_vocabulary(descriptors_packed: np.ndarray, k: int = 10, levels: int = 
                 cents = new
                 break
             cents = new
-        d = (data * 2 - 1).astype(np.float32) @ (cents.T * 2 - 1).astype(np.float32)
+        d = data_f @ (cents.T * 2 - 1).astype(np.float32)
         return cents, d.argmax(axis=1)
 
     # recursive split, filling flat level arrays
@@ -126,7 +142,7 @@ def train_vocabulary(descriptors_packed: np.ndarray, k: int = 10, levels: int = 
         cents, assign = kmedians(data)
         base = slot * k
         for c in range(len(cents)):
-            centers_by_level[level][base + c] = cents[c] * 2.0 - 1.0
+            centers_by_level[level][base + c] = cents[c] * 2 - 1
             if level + 1 < levels:
                 split(data[assign == c], level + 1, base + c)
 

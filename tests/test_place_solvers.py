@@ -92,6 +92,55 @@ class TestKeyFrameDatabase:
         assert cands[0] == 2
 
 
+class TestSparseKFDB:
+    def test_sparse_scores_match_dense_formula(self, rng):
+        """score = sum min(v1, v2) must equal 1 - 0.5|v1-v2|_1 computed on
+        the full dense vectors (DBoW2 L1 scoring identity)."""
+        packed, labels, _ = make_descriptor_corpus(rng)
+        voc = voc_mod.train_vocabulary(packed, k=8, levels=2, seed=1)
+        ids = np.asarray(voc.transform_packed(packed, np.ones(len(labels), bool)))
+        db = KeyFrameDatabase(voc, max_keyframes=8)
+        for k in range(5):
+            db.add(k, ids[k * 300:(k + 1) * 300])
+        q = voc.bow_vector(ids[100:500])
+        sparse_scores = db.score_against_all(q)
+        for k in range(5):
+            dense = db.dense_bow(k)
+            expect = 1.0 - 0.5 * np.abs(dense - q).sum()
+            assert abs(sparse_scores[k] - expect) < 1e-4
+            assert abs(db.score_kf(q, k) - expect) < 1e-4
+        assert sparse_scores[6] == -1.0  # empty slots invalid
+
+    def test_reference_scale_vocabulary_database(self):
+        """The sparse layout must handle a reference-scale vocabulary
+        (~100k words — impossible for the round-1 dense [K, n_words]
+        matrix: 1536 x 1e5 x 4B = 600 MB) with interactive query times at
+        KITTI keyframe counts."""
+        import time
+        rng = np.random.default_rng(3)
+        n_words = 100_000
+        voc = voc_mod.Vocabulary(
+            k=10, levels=5, centers=[],
+            word_weights=np.ones(n_words, np.float32), n_words=n_words)
+        db = KeyFrameDatabase(voc, max_keyframes=1536)
+        n_kf = 1400
+        for k in range(n_kf):
+            db.add(k, rng.integers(0, n_words, 1500))
+        assert db.wids.nbytes + db.wts.nbytes < 60e6
+        q = voc.bow_vector(rng.integers(0, n_words, 1500))
+        t0 = time.perf_counter()
+        scores = db.score_against_all(q)
+        common = db._common_words(q)
+        t = time.perf_counter() - t0
+        assert scores.shape == (1536,) and common.shape == (1536,)
+        assert t < 0.5, f"scale query {t:.3f}s"
+        w = np.zeros((1536, 1536), np.int32)
+        t0 = time.perf_counter()
+        db.detect_reloc_candidates(rng.integers(0, n_words, 1500), w)
+        t = time.perf_counter() - t0
+        assert t < 2.0, f"reloc candidates {t:.3f}s at scale"
+
+
 class TestHornSim3:
     def test_umeyama_exact(self, rng):
         src = rng.normal(size=(30, 3)).astype(np.float32)
