@@ -206,6 +206,62 @@ def search_by_descriptor(
     return jnp.where(won, best_kp, -1), best_dist
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor",
+                                             "n_levels", "max_hamming"))
+def fuse_targets(
+    target_ids: jax.Array,     # [T] keyframe rows (padded)
+    target_valid: jax.Array,   # [T] bool
+    kf_pose_all: jax.Array,    # [K, 4, 4] device keyframe poses
+    kf_xy: jax.Array,          # [K, N, 2] device keyframe store
+    kf_desc: jax.Array,
+    kf_octave: jax.Array,
+    kf_angle: jax.Array,
+    kf_valid: jax.Array,
+    ids: jax.Array,            # [C] candidate point rows into the mirror
+    sel_valid: jax.Array,      # [C]
+    pt_pos_all: jax.Array,
+    pt_desc_all: jax.Array,
+    pt_valid_all: jax.Array,
+    pt_normal_all: jax.Array,
+    pt_min_all: jax.Array,
+    pt_max_all: jax.Array,
+    radius_mult: float,
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    max_hamming: int = 50,
+) -> jax.Array:
+    """ORBmatcher::Fuse against T keyframes in ONE device program
+    (LocalMapping::SearchInNeighbors projects the keyframe's points into
+    ~20 neighbors, /root/reference/src/LocalMapping.cc:515-599,
+    ORBmatcher.cc:873-1038 — the reference launches a scalar loop per
+    target; round-1 launched one kernel per target). Candidate points and
+    keyframe features are gathered on device from the resident
+    mirrors/stores. -> assoc [T, N]: keypoint -> candidate row."""
+    from orbslam2_tpu.ops.orb import Keypoints
+
+    n = kf_xy.shape[1]
+
+    def one(args):
+        t, tv = args
+        kp = Keypoints(
+            xy=kf_xy[t], response=jnp.zeros((n,), jnp.float32),
+            angle=kf_angle[t], octave=kf_octave[t],
+            size=jnp.ones((n,), jnp.float32), desc=kf_desc[t],
+            valid=kf_valid[t] & tv)
+        info, res = search_local_points_gathered(
+            kf_pose_all[t], ids, sel_valid, pt_pos_all, pt_desc_all,
+            pt_valid_all, pt_normal_all, pt_min_all, pt_max_all,
+            kp, jnp.zeros((n,), bool), radius_mult, cam,
+            scale_factor, n_levels, max_hamming)
+        return res.assoc
+
+    # lax.map (sequential scan), not vmap: each target materializes a
+    # [C, N] distance matrix; T of them at once would be ~1 GB of HBM for
+    # zero latency benefit — the point is ONE round trip, not T-way SIMD
+    return jax.lax.map(one, (target_ids, target_valid))
+
+
 class TrackStepResult(NamedTuple):
     """Fused search+optimize step outputs (fetched in one round trip)."""
     tcw: jax.Array        # [4, 4] optimized pose

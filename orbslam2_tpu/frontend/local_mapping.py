@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -133,48 +134,67 @@ class LocalMapper:
         z = (m.pt_pos[pids] @ tcw[:3, :3].T + tcw[:3, 3])[:, 2]
         return float(np.median(z))
 
+    NB_CAP = 24       # padded neighbor batch for the one-dispatch program
+    TRI_OUT_CAP = 512  # compacted survivors fetched per neighbor
+
     def _create_new_map_points(self, kf: int, w: np.ndarray) -> None:
-        from orbslam2_tpu.frontend.triangulation import triangulate_pair
+        from orbslam2_tpu.frontend.triangulation import triangulate_neighbors
         m = self.map
         cfg = self.cfg
         n_neigh = cfg.triangulation_neighbors * (2 if cfg.monocular else 1)
         neighbors = covisibility.best_covisible(w, kf, n_neigh)
         if len(neighbors) == 0:
             return
-        kp1 = kf_keypoints(m, kf)
         med_depth1 = self.scene_median_depth(kf)
         c1 = -(m.kf_pose[kf][:3, :3].T @ m.kf_pose[kf][:3, 3])
-        new_pts = []
-        for nb in neighbors:
-            nb = int(nb)
+        # baseline gates on host (LocalMapping.cc:286-295)
+        keep = []
+        for nb in map(int, neighbors):
             c2 = -(m.kf_pose[nb][:3, :3].T @ m.kf_pose[nb][:3, 3])
             baseline = float(np.linalg.norm(c2 - c1))
             if cfg.monocular:
                 if med_depth1 > 0 and baseline / med_depth1 < 0.01:
-                    continue  # LocalMapping.cc:286-295
+                    continue
             else:
                 if baseline < 0.01:
                     continue
-            free1 = (m.kf_pt[kf] < 0) & m.kf_kp_valid[kf]
-            free2 = (m.kf_pt[nb] < 0) & m.kf_kp_valid[nb]
-            res = triangulate_pair(
-                jnp.asarray(m.kf_pose[kf]), kp1, jnp.asarray(free1),
-                jnp.asarray(m.kf_kp_ur[kf]), jnp.asarray(m.kf_kp_depth[kf]),
-                jnp.asarray(m.kf_pose[nb]), kf_keypoints(m, nb), jnp.asarray(free2),
-                jnp.asarray(m.kf_kp_ur[nb]), jnp.asarray(m.kf_kp_depth[nb]),
-                self.cam, cfg.scale_factor, cfg.n_levels)
-            kp2_idx = np.asarray(res.kp2_idx)
-            pts = np.asarray(res.points)
-            for i in np.where(kp2_idx >= 0)[0]:
-                if m.kf_pt[kf, i] >= 0 or m.kf_pt[nb, kp2_idx[i]] >= 0:
+            keep.append(nb)
+        keep = keep[: self.NB_CAP]
+        if not keep:
+            return
+        # one device program matches + triangulates against ALL neighbors
+        store = m.device_kf_store()
+        b = len(keep)
+        nb_ids = np.zeros(self.NB_CAP, np.int32)
+        nb_ids[:b] = keep
+        nb_valid = np.zeros(self.NB_CAP, bool)
+        nb_valid[:b] = True
+        free1 = (m.kf_pt[kf] < 0) & m.kf_kp_valid[kf]
+        free2 = np.zeros((self.NB_CAP, m.cap.n_features), bool)
+        free2[:b] = (m.kf_pt[np.array(keep)] < 0) & m.kf_kp_valid[np.array(keep)]
+        a = store.arrays
+        res = jax.device_get(triangulate_neighbors(
+            jnp.int32(kf), jnp.asarray(free1), jnp.asarray(nb_ids),
+            jnp.asarray(nb_valid), jnp.asarray(free2), store.pose,
+            a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
+            a["kf_kp_angle"], a["kf_kp_valid"], a["kf_kp_ur"],
+            a["kf_kp_depth"], self.cam, cfg.scale_factor, cfg.n_levels,
+            self.TRI_OUT_CAP))
+        new_pts = []
+        for bi, nb in enumerate(keep):
+            rows = np.where(res.idx1[bi] >= 0)[0]
+            for r in rows:
+                i = int(res.idx1[bi, r])
+                j = int(res.kp2_idx[bi, r])
+                if m.kf_pt[kf, i] >= 0 or m.kf_pt[nb, j] >= 0:
                     continue  # taken by an earlier pair this round
                 try:
-                    pid = m.add_point(pts[i], m.kf_kp_desc[kf, i], kf,
-                                      int(m.kf_frame_id[kf]))
+                    pid = m.add_point(res.points[bi, r], m.kf_kp_desc[kf, i],
+                                      kf, int(m.kf_frame_id[kf]))
                 except RuntimeError:
                     return  # capacity full; culling will free slots later
                 m.add_observation(kf, i, pid)
-                m.add_observation(nb, int(kp2_idx[i]), pid)
+                m.add_observation(nb, j, pid)
                 new_pts.append(pid)
         if new_pts:
             m.update_point_descriptor_and_normal(
@@ -199,58 +219,70 @@ class LocalMapper:
         own_pts = np.unique(m.kf_pt[kf])
         own_pts = own_pts[own_pts >= 0]
         own_pts = own_pts[m.pt_valid[own_pts]]
-        # forward: fuse this KF's points into neighbors
-        for t in target_kfs:
-            self._fuse_points_into_kf(own_pts, int(t))
+        # forward: fuse this KF's points into all neighbors (one program)
+        self._fuse_points_into_targets(own_pts, [int(t) for t in target_kfs])
         # backward: fuse neighbors' points into this KF
         neigh_pts = np.unique(m.kf_pt[np.array(target_kfs)])
         neigh_pts = neigh_pts[neigh_pts >= 0]
         neigh_pts = neigh_pts[m.pt_valid[neigh_pts]]
-        self._fuse_points_into_kf(neigh_pts, kf)
+        self._fuse_points_into_targets(neigh_pts, [kf])
 
-    def _fuse_points_into_kf(self, pt_ids: np.ndarray, kf: int) -> None:
-        """Project points into keyframe kf; matched keypoints either gain an
-        observation or trigger a duplicate merge (keep the point with more
-        observations, ORBmatcher::Fuse semantics)."""
+    FUSE_T_CAP = 24  # padded target batch for the one-dispatch fuse
+
+    def _fuse_points_into_targets(self, pt_ids: np.ndarray,
+                                  targets: List[int]) -> None:
+        """ORBmatcher::Fuse of the candidate points into every target
+        keyframe: ONE device program over the resident point mirror +
+        keyframe store, then per-target host arbitration (add observation
+        vs duplicate merge keeping the better-observed point)."""
         m = self.map
-        if len(pt_ids) == 0:
+        if len(pt_ids) == 0 or not targets:
             return
         cap = self.cfg.ba_max_points
         pt_ids = pt_ids[:cap]
         n = len(pt_ids)
-        pos = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 8), np.uint32)
-        valid = np.zeros(cap, bool)
-        normal = np.zeros((cap, 3), np.float32)
-        dmin = np.zeros(cap, np.float32)
-        dmax = np.zeros(cap, np.float32)
-        pos[:n] = m.pt_pos[pt_ids]
-        desc[:n] = m.pt_desc[pt_ids]
-        valid[:n] = True
-        normal[:n] = m.pt_normal[pt_ids]
-        dmin[:n] = m.pt_min_dist[pt_ids]
-        dmax[:n] = m.pt_max_dist[pt_ids]
-        # points already observed by kf need no fusion
-        already = np.isin(pt_ids, m.kf_pt[kf][m.kf_pt[kf] >= 0])
-        valid[:n] &= ~already
+        mir = m.device_mirror()
+        store = m.device_kf_store()
+        ids = np.zeros(cap, np.int32)
+        ids[:n] = pt_ids
+        sel = np.zeros(cap, bool)
+        sel[:n] = True
+        a = store.arrays
+        for t0 in range(0, len(targets), self.FUSE_T_CAP):
+            chunk = targets[t0:t0 + self.FUSE_T_CAP]
+            t_ids = np.zeros(self.FUSE_T_CAP, np.int32)
+            t_ids[:len(chunk)] = chunk
+            t_val = np.zeros(self.FUSE_T_CAP, bool)
+            t_val[:len(chunk)] = True
+            assoc_all = jax.device_get(kernels.fuse_targets(
+                jnp.asarray(t_ids), jnp.asarray(t_val), store.pose,
+                a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
+                a["kf_kp_angle"], a["kf_kp_valid"],
+                jnp.asarray(ids), jnp.asarray(sel),
+                mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+                mir.pt_min_dist, mir.pt_max_dist,
+                self.cfg.fuse_radius / 4.0 * 4.0, self.cam,
+                self.cfg.scale_factor, self.cfg.n_levels, 50))
+            for i, t in enumerate(chunk):
+                self._apply_fuse_assoc(pt_ids, t, assoc_all[i])
 
-        kp = kf_keypoints(m, kf)
-        info, res = kernels.search_local_points(
-            jnp.asarray(m.kf_pose[kf]), jnp.asarray(pos), jnp.asarray(desc),
-            jnp.asarray(valid), jnp.asarray(normal), jnp.asarray(dmin), jnp.asarray(dmax),
-            kp, jnp.zeros(kp.n, bool), self.cfg.fuse_radius / 4.0 * 4.0, self.cam,
-            self.cfg.scale_factor, self.cfg.n_levels, max_hamming=50)
-        assoc = np.asarray(res.assoc)  # [N_kp] -> candidate row
+    def _apply_fuse_assoc(self, pt_ids: np.ndarray, kf: int,
+                          assoc: np.ndarray) -> None:
+        """Host arbitration for one target's fuse matches (ORBmatcher::Fuse
+        tail, ORBmatcher.cc:980-1035): candidates the keyframe already
+        observes are skipped (pMP->IsInKeyFrame, cc:941); a match onto an
+        occupied slot merges, keeping the better-observed point."""
+        m = self.map
+        row = m.kf_pt[kf]
+        seen = set(int(p) for p in row[row >= 0])
         obs_count = m.point_obs_count()
         replaces = []
         for slot in np.where(assoc >= 0)[0]:
             pid = int(pt_ids[assoc[slot]])
-            if not m.pt_valid[pid]:
+            if not m.pt_valid[pid] or pid in seen:
                 continue
             existing = int(m.kf_pt[kf, slot])
             if existing >= 0 and m.pt_valid[existing]:
-                if existing == pid:
-                    continue
                 # duplicate: keep the better-observed point
                 if obs_count[existing] >= obs_count[pid]:
                     replaces.append((pid, existing))
@@ -258,6 +290,7 @@ class LocalMapper:
                     replaces.append((existing, pid))
             else:
                 m.add_observation(kf, slot, pid)
+                seen.add(pid)
         # one batched Replace for all duplicates (MapPoint.cc:190-232):
         # a single CSR pass instead of a [K, N] rescan per merge
         m.replace_points(replaces)

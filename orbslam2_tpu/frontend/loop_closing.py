@@ -305,8 +305,7 @@ class LoopCloser:
         fuser.map = m
         fuser.cam = self.cam
         fuser.cfg = LocalMapperConfig(scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
-        for k_i in window:
-            fuser._fuse_points_into_kf(hood_pts, k_i)
+        fuser._fuse_points_into_targets(hood_pts, window)
 
         # essential-graph optimization (cc:680-703 -> Optimizer.cc:885)
         w2 = covisibility.weight_matrix(m)

@@ -114,7 +114,6 @@ class Tracker:
         self.mapping_worker = None
         from orbslam2_tpu.utils.profiling import StageTimer
         self.stats = StageTimer(enabled=config.profile_stages)
-        self._mirror = None  # DeviceMapMirror, created on first local-map use
 
     # ------------------------------------------------------------------
     # public API
@@ -507,7 +506,6 @@ class Tracker:
         self.ref_kf = -1
         self._init_ref = None
         self._covis_w = None
-        self._mirror = None
         self.mb_vo = False
 
     # ------------------------------------------------------------------
@@ -617,11 +615,7 @@ class Tracker:
             # device-resident map: ship only the local id list; rows are
             # gathered on device from the synced mirror. Fused program:
             # projection search + staging + second pose optimization.
-            if self._mirror is None:
-                from orbslam2_tpu.slammap.device_map import DeviceMapMirror
-                self._mirror = DeviceMapMirror()
-            mir = self._mirror
-            mir.sync(self.map)
+            mir = self.map.device_mirror()
             ids = np.zeros(cap, np.int32)
             ids[:n_local] = pt_ids
             sel = np.zeros(cap, bool)

@@ -122,6 +122,74 @@ def triangulate_pair(
     )
 
 
+class BatchedTriangulation(NamedTuple):
+    idx1: jax.Array      # [B, M] kp index in KF1 (-1 = pad)
+    kp2_idx: jax.Array   # [B, M] matched kp index in the neighbor
+    points: jax.Array    # [B, M, 3] world points
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor",
+                                             "n_levels", "out_cap"))
+def triangulate_neighbors(
+    kf: jax.Array,           # [] keyframe row
+    free1: jax.Array,        # [N] keypoint of kf has no map point yet
+    nb_ids: jax.Array,       # [B] neighbor rows (padded)
+    nb_valid: jax.Array,     # [B]
+    free2: jax.Array,        # [B, N]
+    kf_pose_all: jax.Array,  # [K, 4, 4]
+    kf_xy: jax.Array,        # [K, N, 2] device keyframe store
+    kf_desc: jax.Array,
+    kf_octave: jax.Array,
+    kf_angle: jax.Array,
+    kf_valid: jax.Array,
+    kf_ur: jax.Array,
+    kf_depth: jax.Array,
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    out_cap: int = 512,
+) -> BatchedTriangulation:
+    """CreateNewMapPoints' epipolar matching + triangulation against ALL
+    neighbor keyframes in ONE device program (LocalMapping.cc:237-513 loops
+    targets; round-1 launched one kernel per neighbor). Results compacted
+    to out_cap survivors per neighbor so the fetch stays small."""
+    from orbslam2_tpu.ops.orb import Keypoints
+
+    n = kf_xy.shape[1]
+    kp1 = Keypoints(
+        xy=kf_xy[kf], response=jnp.zeros((n,), jnp.float32),
+        angle=kf_angle[kf], octave=kf_octave[kf],
+        size=jnp.ones((n,), jnp.float32), desc=kf_desc[kf],
+        valid=kf_valid[kf])
+    tcw1 = kf_pose_all[kf]
+    ur1 = kf_ur[kf]
+    depth1 = kf_depth[kf]
+
+    def one(args):
+        nb, nbv, f2 = args
+        kp2 = Keypoints(
+            xy=kf_xy[nb], response=jnp.zeros((n,), jnp.float32),
+            angle=kf_angle[nb], octave=kf_octave[nb],
+            size=jnp.ones((n,), jnp.float32), desc=kf_desc[nb],
+            valid=kf_valid[nb] & nbv)
+        res = triangulate_pair(
+            tcw1, kp1, free1, ur1, depth1,
+            kf_pose_all[nb], kp2, f2, kf_ur[nb], kf_depth[nb],
+            cam, scale_factor, n_levels)
+        won = res.kp2_idx >= 0
+        order = jnp.argsort(~won)          # stable: winners first, in order
+        keep = won[order][:out_cap]
+        idx1 = jnp.where(keep, order[:out_cap], -1)
+        kp2i = jnp.where(keep, res.kp2_idx[order[:out_cap]], -1)
+        pts = res.points[order[:out_cap]]
+        return idx1, kp2i, pts
+
+    # lax.map, not vmap: each pair builds dense [N, N] epipolar/Hamming
+    # matrices; the batching goal is one host round trip, not B-way SIMD
+    idx1, kp2i, pts = jax.lax.map(one, (nb_ids, nb_valid, free2))
+    return BatchedTriangulation(idx1=idx1, kp2_idx=kp2i, points=pts)
+
+
 def _pairwise_epipolar(xy1: jax.Array, xy2: jax.Array, f12: jax.Array) -> jax.Array:
     """[N1, N2] squared distance of each kp2 from the epipolar line of kp1
     (line in image 2: l2 = x1^T F12 per the F12 convention of

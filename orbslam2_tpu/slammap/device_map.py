@@ -54,3 +54,58 @@ class DeviceMapMirror:
         if arrays is not None and name in FIELDS:
             return arrays[name]
         raise AttributeError(name)
+
+
+KF_FIELDS = ("kf_kp_xy", "kf_kp_desc", "kf_kp_octave", "kf_kp_angle",
+             "kf_kp_valid", "kf_kp_ur", "kf_kp_depth")
+
+
+class DeviceKFStore:
+    """Device-resident keyframe feature arrays + poses.
+
+    The mapping stages (triangulation against ~10 neighbors, fusion into
+    ~20 targets, loop-neighborhood projection) read whole keyframes'
+    keypoint arrays. Staging them from host per call is ~130 KB x targets
+    per keyframe event; keeping the store resident means each keyframe row
+    is uploaded exactly ONCE at insertion (the reference's KeyFrame feature
+    arrays are likewise immutable, KeyFrame.h:120-189) and batched kernels
+    gather rows on device. Poses are mutable (BA/loop corrections) and tiny
+    — re-uploaded wholesale per sync."""
+
+    def __init__(self):
+        self.gen = -1
+        self.arrays = None
+        self.pose = None          # [K, 4, 4] device
+        self._pose_host_id = None
+        self.n_row_uploads = 0
+
+    def sync(self, m) -> None:
+        """Call with the map lock held."""
+        if self.arrays is None:
+            dirty_all, dirty_ids = m.consume_kf_dirty()
+            self.arrays = {f: jnp.asarray(getattr(m, f)) for f in KF_FIELDS}
+        elif m.kf_dirty_gen != self.gen:
+            dirty_all, dirty_ids = m.consume_kf_dirty()
+            if dirty_all:
+                self.arrays = {f: jnp.asarray(getattr(m, f))
+                               for f in KF_FIELDS}
+            elif len(dirty_ids):
+                idx = jnp.asarray(dirty_ids, jnp.int32)
+                for f in KF_FIELDS:
+                    rows = jnp.asarray(getattr(m, f)[dirty_ids])
+                    self.arrays[f] = self.arrays[f].at[idx].set(rows)
+                self.n_row_uploads += 1
+        self.gen = m.kf_dirty_gen
+        # poses: cheap full upload each sync (e.g. [1536, 4, 4] = 96 KB)
+        self.pose = jnp.asarray(m.kf_pose)
+
+    def keypoints_of(self, rows) -> "object":
+        """Device-side Keypoints view of gathered keyframe rows ([T] or
+        scalar index arrays) for vmapped kernels."""
+        from orbslam2_tpu.ops.orb import Keypoints
+        a = self.arrays
+        return Keypoints(
+            xy=a["kf_kp_xy"][rows], response=jnp.zeros(()),
+            angle=a["kf_kp_angle"][rows], octave=a["kf_kp_octave"][rows],
+            size=jnp.zeros(()), desc=a["kf_kp_desc"][rows],
+            valid=a["kf_kp_valid"][rows])

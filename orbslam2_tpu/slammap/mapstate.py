@@ -109,6 +109,12 @@ class MapState:
         self.obs_gen = next(_DIRTY_GEN)
         self._obs_count_cache = None
         self._obs_index_cache = None
+        # keyframe-row dirtiness for the device keyframe store
+        # (slammap/device_map.DeviceKFStore): keypoint arrays are immutable
+        # per keyframe, so only inserts dirty rows
+        self.kf_dirty_gen = next(_DIRTY_GEN)
+        self._kf_dirty: set = set()
+        self._kf_dirty_all = True
 
     # ------------------------------------------------------------------
     # allocation
@@ -164,7 +170,19 @@ class MapState:
         self.kf_loop_edges[k] = set()
         self.kf_order[k] = self._kf_counter
         self._kf_counter += 1
+        if not self._kf_dirty_all:
+            self._kf_dirty.add(k)
+        self.kf_dirty_gen = next(_DIRTY_GEN)
         return k
+
+    def consume_kf_dirty(self):
+        """-> (all_dirty, sorted dirty kf array); clears the dirty state."""
+        all_dirty = self._kf_dirty_all
+        ids = np.fromiter(self._kf_dirty, np.int64, len(self._kf_dirty))
+        ids.sort()
+        self._kf_dirty_all = False
+        self._kf_dirty.clear()
+        return all_dirty, ids
 
     def add_point(
         self,
@@ -423,6 +441,26 @@ class MapState:
             t_acc = t_acc @ tcp
             kf, order = par, par_order
         return None
+
+    # ------------------------------------------------------------------
+    # device-resident mirrors (shared by tracker, mapper, loop closer —
+    # one upload stream; callers hold the map lock)
+    # ------------------------------------------------------------------
+    def device_mirror(self):
+        """Synced device point mirror (slammap/device_map)."""
+        if getattr(self, "_device_mirror", None) is None:
+            from orbslam2_tpu.slammap.device_map import DeviceMapMirror
+            self._device_mirror = DeviceMapMirror()
+        self._device_mirror.sync(self)
+        return self._device_mirror
+
+    def device_kf_store(self):
+        """Synced device keyframe store (slammap/device_map)."""
+        if getattr(self, "_device_kf_store", None) is None:
+            from orbslam2_tpu.slammap.device_map import DeviceKFStore
+            self._device_kf_store = DeviceKFStore()
+        self._device_kf_store.sync(self)
+        return self._device_kf_store
 
     # ------------------------------------------------------------------
     # derived quantities

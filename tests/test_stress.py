@@ -219,25 +219,21 @@ class TestKittiScaleMap:
         kf, loop_kf = n_kf - 1, 0
 
         orig_opt = lc.pose_graph.optimize_essential_graph
-        orig_search = lc.kernels.search_local_points
+        orig_fuse = lc.kernels.fuse_targets
         n_edges = {}
 
         def fake_opt(poses, valid, fixed, e_i, e_j, meas, e_valid, fix_scale):
             n_edges["e"] = int(len(np.asarray(e_i)))
             return poses, None
 
-        class _Res:
-            pass
-
-        def fake_search(tcw, pos, desc, valid, normal, dmin, dmax, kp,
-                        taken, r, cam_, sf, nl, max_hamming=None):
-            res = _Res()
-            res.assoc = np.full(np.asarray(kp.xy).shape[0], -1, np.int32)
-            return None, res
+        def fake_fuse(t_ids, t_val, pose_all, xy, desc, octv, ang, val,
+                      ids, sel, *mirror, **kw):
+            return np.full((len(np.asarray(t_ids)), np.asarray(xy).shape[1]),
+                           -1, np.int32)
         # NOTE: lc.kernels and local_mapping's kernels are the same module
         # object — patch the one shared attribute exactly once
         lc.pose_graph.optimize_essential_graph = fake_opt
-        lc.kernels.search_local_points = fake_search
+        lc.kernels.fuse_targets = fake_fuse
         try:
             s_cw = m.kf_pose[kf].copy()
             s_cw[:3, 3] += 0.05  # small loop discrepancy
@@ -246,7 +242,7 @@ class TestKittiScaleMap:
             t_loop = time.perf_counter() - t0
         finally:
             lc.pose_graph.optimize_essential_graph = orig_opt
-            lc.kernels.search_local_points = orig_search
+            lc.kernels.fuse_targets = orig_fuse
         assert n_edges["e"] > n_kf - 2, n_edges  # spanning tree at least
         assert t_loop < 8.0, f"loop-correction host staging {t_loop:.2f}s"
         print(f"\nKITTI-scale loop correction: {t_loop*1e3:.0f} ms "
