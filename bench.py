@@ -89,10 +89,12 @@ def measure_relay(jax, jnp):
 
     def _up():
         d = jax.device_put(big)
-        np.asarray(d[0])  # data-dependent fetch forces the upload
+        np.asarray(triv(d)[0])  # data-dependent fetch forces the upload
 
     t_up = min(_timed(_up) for _ in range(2))
-    d = jax.device_put(big)
+    # fetch a device-COMPUTED array: fetching a device_put result can
+    # return the cached host buffer and measure nothing
+    d = triv(jax.device_put(big))
     np.asarray(d[0])
     t_down = min(_timed(lambda: np.asarray(d)) for _ in range(2))
     bw_up = big.nbytes / max(t_up - rt, 1e-3)

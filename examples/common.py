@@ -34,7 +34,21 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                    help="print per-stage timing statistics at the end")
     p.add_argument("--device-trace", default=None,
                    help="directory for a jax.profiler device trace")
+    p.add_argument("--viewer", action="store_true",
+                   help="live viewer (cv2 windows with a display; "
+                        "latest_frame.jpg/latest_map.jpg without one)")
+    p.add_argument("--viewer-dir", default=".",
+                   help="publish directory for the headless live viewer")
     return p
+
+
+def make_viewer(system, args):
+    """-> LiveViewer or None (the reference gates its viewer thread on
+    bUseViewer, System.cc:105-112)."""
+    if not getattr(args, "viewer", False):
+        return None
+    from orbslam2_tpu.viewer.live import LiveViewer
+    return LiveViewer(system, out_dir=args.viewer_dir)
 
 
 def make_system(args, sensor: Sensor, image_size=None,

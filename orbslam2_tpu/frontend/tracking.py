@@ -841,7 +841,7 @@ class Tracker:
             tcr=tcr.astype(np.float32), ref_kf=self.ref_kf, ref_order=ref_order,
             timestamp=fr.timestamp, lost=lost))
 
-    def full_trajectory_twc(self) -> np.ndarray:
+    def full_trajectory_twc(self, wait: bool = True) -> np.ndarray:
         """Recover all frame poses through their reference keyframes,
         chaining through culled keyframes via stored relative poses
         (System::SaveTrajectoryKITTI logic, System.cc:426-506: one pose per
@@ -850,8 +850,9 @@ class Tracker:
 
         Drains the async mapping queue first and reads under the map lock:
         the reference requires Shutdown() before its savers (System.cc:
-        353-356); self-synchronizing is strictly safer."""
-        if self.mapping_worker is not None:
+        353-356); self-synchronizing is strictly safer. Pass wait=False
+        for a non-blocking snapshot (live viewer)."""
+        if wait and self.mapping_worker is not None:
             self.mapping_worker.wait_idle()
         with self.map_lock:
             return self._full_trajectory_twc_locked()

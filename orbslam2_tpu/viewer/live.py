@@ -1,0 +1,141 @@
+"""Live viewer: a real-time render loop over the headless renderers.
+
+The functional re-design of the reference's Pangolin viewer thread
+(/root/reference/src/Viewer.cc:54-196 — a ~30 Hz loop drawing
+FrameDrawer::DrawFrame into one window and MapDrawer into another).
+Pangolin/OpenGL is replaced by cv2 HighGUI when a display exists; without
+one (headless hosts, CI) the loop degrades to atomically publishing the
+latest rendered frames to disk (``latest_frame.jpg`` / ``latest_map.jpg``)
+so any dashboard can poll them — the render cadence and the thread
+lifecycle (start / request-finish / join, Viewer.cc:198-230) are identical
+in both modes.
+
+The viewer never blocks tracking: it samples the latest pushed frame and
+reads tracker/map state under the shared map lock.
+"""
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from orbslam2_tpu.viewer.headless import draw_frame, draw_map_topdown
+
+
+class LiveViewer:
+    """Background render loop. Usage:
+
+    >>> viewer = LiveViewer(system)            # starts the thread
+    >>> for gray, depth, ts in frames:
+    ...     system.track_rgbd(gray, depth, ts)
+    ...     viewer.push_frame(gray)
+    >>> viewer.close()
+    """
+
+    def __init__(self, system, fps: float = 30.0, map_every: int = 10,
+                 window: str = "orbslam2-tpu", out_dir: Optional[str] = None,
+                 use_gui: Optional[bool] = None):
+        self.system = system
+        self.fps = fps
+        self.map_every = map_every
+        self.window = window
+        self.out_dir = out_dir or "."
+        self._latest: Optional[np.ndarray] = None
+        self._latest_id = -1
+        self._drawn_id = -1
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self.n_rendered = 0
+        self.last_frame_img: Optional[np.ndarray] = None
+        self.last_map_img: Optional[np.ndarray] = None
+        if use_gui is None:
+            use_gui = bool(os.environ.get("DISPLAY"))
+        self._gui = use_gui
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="live-viewer")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def push_frame(self, gray: np.ndarray) -> None:
+        """Hand the viewer the latest input image (cheap; copies once)."""
+        with self._lock:
+            self._latest = np.asarray(gray, np.float32).copy()
+            self._latest_id += 1
+
+    def close(self) -> None:
+        """Viewer::RequestFinish + join (Viewer.cc:198-216)."""
+        self._stop.set()
+        self._thread.join(timeout=10.0)
+        if self._gui:
+            try:
+                import cv2
+                cv2.destroyWindow(self.window)
+                cv2.destroyWindow(self.window + " map")
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------
+    def _run(self) -> None:
+        period = 1.0 / max(self.fps, 1.0)
+        while not self._stop.is_set():
+            t0 = time.time()
+            with self._lock:
+                gray = self._latest
+                fid = self._latest_id
+            if gray is None or fid == self._drawn_id:
+                time.sleep(period)
+                continue
+            self._drawn_id = fid
+            try:
+                self._render_once(gray)
+            except Exception:  # never kill the app from the viewer
+                import traceback
+                traceback.print_exc()
+                time.sleep(period)
+            dt = time.time() - t0
+            if dt < period:
+                time.sleep(period - dt)
+
+    def _render_once(self, gray: np.ndarray) -> None:
+        tr = self.system.tracker
+        with tr.map_lock:
+            img = draw_frame(gray, tr.last_frame, tr.state.name,
+                             self.system.map.n_keyframes(),
+                             self.system.map.n_points())
+            map_img = None
+            if self.n_rendered % self.map_every == 0:
+                traj = tr.full_trajectory_twc(wait=False) \
+                    if tr.trajectory else None
+                map_img = draw_map_topdown(self.system.map, traj)
+        self.last_frame_img = img
+        if map_img is not None:
+            self.last_map_img = map_img
+        self.n_rendered += 1
+        if self._gui:
+            self._show(img, map_img)
+        else:
+            self._publish(img, map_img)
+
+    def _show(self, img, map_img) -> None:
+        import cv2
+        try:
+            cv2.imshow(self.window, img)
+            if map_img is not None:
+                cv2.imshow(self.window + " map", map_img)
+            cv2.waitKey(1)
+        except cv2.error:
+            # display went away: degrade to file publishing
+            self._gui = False
+            self._publish(img, map_img)
+
+    def _publish(self, img, map_img) -> None:
+        import cv2
+        tmp = os.path.join(self.out_dir, ".viewer_tmp.jpg")
+        cv2.imwrite(tmp, img)
+        os.replace(tmp, os.path.join(self.out_dir, "latest_frame.jpg"))
+        if map_img is not None:
+            cv2.imwrite(tmp, map_img)
+            os.replace(tmp, os.path.join(self.out_dir, "latest_map.jpg"))

@@ -1,0 +1,44 @@
+"""Live viewer: render loop thread over a real tracking session
+(Viewer.cc:54-196 analogue; headless publish mode on this display-less CI)."""
+import os
+import time
+
+import numpy as np
+
+from orbslam2_tpu.frontend.tracking import SLAMConfig
+from orbslam2_tpu.geometry.camera import PinholeCamera
+from orbslam2_tpu.io.synthetic import SyntheticSequence
+from orbslam2_tpu.ops.orb import ORBConfig
+from orbslam2_tpu.system import SLAMSystem, Sensor
+from orbslam2_tpu.viewer.live import LiveViewer
+
+CAM = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                    width=320, height=240, bf=26.0)
+
+
+def test_live_viewer_renders_during_tracking(tmp_path):
+    cfg = SLAMConfig(cam=CAM, orb=ORBConfig(n_features=800, n_levels=4),
+                     th_depth=4.0, max_keyframes=32, max_points=4096,
+                     local_point_cap=1024, min_init_features=300)
+    system = SLAMSystem(cfg, Sensor.RGBD)
+    viewer = LiveViewer(system, fps=60, map_every=2,
+                        out_dir=str(tmp_path), use_gui=False)
+    seq = SyntheticSequence(CAM, n_frames=10, trajectory="lateral", seed=2)
+    for i in range(seq.n_frames):
+        gray, depth = seq.render(i)
+        system.track_rgbd(gray, depth, i / seq.fps)
+        viewer.push_frame(gray)
+        time.sleep(0.02)  # give the 60 Hz loop a tick per frame
+    deadline = time.time() + 5.0
+    while viewer.n_rendered < 3 and time.time() < deadline:
+        time.sleep(0.05)
+    viewer.close()
+    system.shutdown()
+    assert viewer.n_rendered >= 3, viewer.n_rendered
+    assert os.path.exists(tmp_path / "latest_frame.jpg")
+    assert os.path.exists(tmp_path / "latest_map.jpg")
+    # overlay has the status bar row appended
+    assert viewer.last_frame_img.shape[0] == CAM.height + 20
+    assert viewer.last_map_img.shape == (640, 640, 3)
+    # thread actually stopped
+    assert not viewer._thread.is_alive()
