@@ -174,8 +174,8 @@ class LocalMapper:
         free2[:b] = (m.kf_pt[np.array(keep)] < 0) & m.kf_kp_valid[np.array(keep)]
         a = store.arrays
         res = jax.device_get(triangulate_neighbors(
-            jnp.int32(kf), jnp.asarray(free1), jnp.asarray(nb_ids),
-            jnp.asarray(nb_valid), jnp.asarray(free2), store.pose,
+            np.int32(kf), free1, nb_ids,
+            nb_valid, free2, store.pose,
             a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
             a["kf_kp_angle"], a["kf_kp_valid"], a["kf_kp_ur"],
             a["kf_kp_depth"], self.cam, cfg.scale_factor, cfg.n_levels,
@@ -255,10 +255,10 @@ class LocalMapper:
             t_val = np.zeros(self.FUSE_T_CAP, bool)
             t_val[:len(chunk)] = True
             assoc_all = jax.device_get(kernels.fuse_targets(
-                jnp.asarray(t_ids), jnp.asarray(t_val), store.pose,
+                t_ids, t_val, store.pose,
                 a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
                 a["kf_kp_angle"], a["kf_kp_valid"],
-                jnp.asarray(ids), jnp.asarray(sel),
+                ids, sel,
                 mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
                 mir.pt_min_dist, mir.pt_max_dist,
                 self.cfg.fuse_radius / 4.0 * 4.0, self.cam,
