@@ -69,6 +69,7 @@ class SyntheticSequence:
         world: str = "wall",
         exposure: float = 0.0,
         occluder: bool = False,
+        motion_blur: float = 0.0,
     ):
         """Robustness stressors (real-dataset failure modes the tests must
         cover without dataset files, ROADMAP item 2):
@@ -76,13 +77,27 @@ class SyntheticSequence:
           (0.3 ~ an auto-exposure swing of +-30% gain, +-15 gray bias)
         - occluder: an untextured-band panel 1 m from the world origin
           sweeping across the view over the sequence, occluding the scene
+        - motion_blur: directional blur scaled by the actual inter-frame
+          image motion (1.0 ~ full-exposure blur over the frame's apparent
+          displacement, like a handheld camera on a fast pan)
+        - world="lowtex": weak-contrast, corner-poor surfaces (feature
+          starvation — TUM fr3_nostructure-style failure mode)
         """
         self.cam = cam
         self.n_frames = n_frames
         self.fps = fps
+        self.motion_blur = motion_blur
         rng = np.random.default_rng(seed)
-        wall_tex = make_texture(rng, 1024)
-        floor_tex = make_texture(rng, 1024)
+        if world == "lowtex":
+            # contrast-starved surfaces: ~6x weaker corners, fewer of them
+            def weak(size):
+                t = make_texture(rng, size)
+                return 110.0 + (t - t.mean()) * 0.16
+            wall_tex = weak(1024)
+            floor_tex = weak(1024)
+        else:
+            wall_tex = make_texture(rng, 1024)
+            floor_tex = make_texture(rng, 1024)
         # wall: z = 3, floor: y = 1.2 (camera looks +z, y down)
         self.planes = [
             Plane(
@@ -283,6 +298,8 @@ class SyntheticSequence:
             depth[sel] = z[sel]
 
         depth[~np.isfinite(depth)] = -1.0
+        if self.motion_blur and i > 0:
+            gray = self._apply_motion_blur(gray, depth, i)
         if self.exposure:
             # sinusoidal auto-exposure swing: per-frame gain + bias
             t = i / max(self.n_frames - 1, 1)
@@ -290,6 +307,41 @@ class SyntheticSequence:
             bias = 50.0 * self.exposure * np.sin(2 * np.pi * 2 * t + 1.0)
             gray = np.clip(gain * gray + bias, 0.0, 255.0).astype(np.float32)
         return gray, depth
+
+    def _apply_motion_blur(self, gray: np.ndarray, depth: np.ndarray,
+                           i: int) -> np.ndarray:
+        """Directional line-kernel blur along the apparent image motion of
+        the scene's center point between frames i-1 and i."""
+        import cv2
+        cam = self.cam
+        cy, cx = cam.height // 2, cam.width // 2
+        z = depth[cy, cx]
+        if z <= 0:
+            return gray
+        # world point under the current center pixel
+        ray = self._pixel_rays()[cy, cx]
+        twc = np.linalg.inv(self.poses[i])
+        pw = twc[:3, :3] @ (ray * z) + twc[:3, 3]
+        # reproject into the previous frame
+        prev = self.poses[i - 1]
+        pc = prev[:3, :3] @ pw + prev[:3, 3]
+        if pc[2] <= 0.05:
+            return gray
+        u_prev = cam.fx * pc[0] / pc[2] + cam.cx
+        v_prev = cam.fy * pc[1] / pc[2] + cam.cy
+        d = np.array([cx - u_prev, cy - v_prev])
+        length = float(np.linalg.norm(d)) * self.motion_blur
+        n_taps = int(np.clip(round(length), 1, 21))
+        if n_taps < 2:
+            return gray
+        k = np.zeros((21, 21), np.float32)
+        direction = d / max(np.linalg.norm(d), 1e-9)
+        for s in np.linspace(-(n_taps - 1) / 2, (n_taps - 1) / 2, n_taps):
+            x = int(round(10 + s * direction[0]))
+            y = int(round(10 + s * direction[1]))
+            k[np.clip(y, 0, 20), np.clip(x, 0, 20)] += 1.0
+        k /= k.sum()
+        return cv2.filter2D(gray, -1, k)
 
     def timestamps(self) -> np.ndarray:
         return np.arange(self.n_frames) / self.fps

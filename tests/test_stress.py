@@ -287,3 +287,18 @@ class TestRobustness:
         lost, ate = self._run(occluder=True)
         assert lost <= 3, lost
         assert ate < 0.08, ate
+
+    def test_motion_blur(self):
+        """Handheld-pan blur: kernels track the actual inter-frame image
+        motion. Tracking must survive with degraded but bounded accuracy."""
+        lost, ate = self._run(motion_blur=0.8)
+        assert lost <= 3, lost
+        assert ate < 0.10, ate
+
+    def test_low_texture(self):
+        """Contrast-starved world (TUM nostructure-style): far fewer
+        corners; the dual-threshold FAST fallback and permissive gates must
+        keep the system alive."""
+        lost, ate = self._run(world="lowtex")
+        assert lost <= 5, lost
+        assert ate < 0.12, ate
