@@ -143,10 +143,14 @@ def bench_system(jax, jnp) -> dict:
         staged.append((jax.device_put(jnp.asarray(g, jnp.float32)),
                        jax.device_put(jnp.asarray(d, jnp.float32))))
 
+    import os
+    import sys
+    debug = bool(os.environ.get("ORBSLAM2_BENCH_DEBUG"))
     cfg = SLAMConfig(cam=cam, orb=ORBConfig(n_features=2000, n_levels=8),
                      th_depth=6.0, max_keyframes=64, max_points=16384,
                      local_point_cap=4096, max_frames_between_kf=10,
                      min_init_features=400, async_mapping=True,
+                     profile_stages=debug,
                      # ~1 KF per 6 frames (TUM cadence): keyframe creation
                      # and the mapping worker's load are part of the metric
                      force_kf_every=6)
@@ -154,17 +158,32 @@ def bench_system(jax, jnp) -> dict:
     # warmup: initialization + first keyframes compile every program in the
     # loop (extraction, fused steps, worker kernels)
     for i in range(warm):
+        t0 = time.perf_counter()
         system.track_rgbd(staged[i][0], staged[i][1], i / seq.fps)
+        if debug:
+            print(f"warm {i}: {(time.perf_counter() - t0) * 1e3:.0f} ms",
+                  file=sys.stderr, flush=True)
     system.wait_mapping_idle()
 
     meter.enabled = True
     ok = 0
+    frame_ms = []
     t0 = time.perf_counter()
     for i in range(warm, n_frames):
+        tf = time.perf_counter()
         tcw = system.track_rgbd(staged[i][0], staged[i][1], i / seq.fps)
+        frame_ms.append((time.perf_counter() - tf) * 1e3)
         ok += tcw is not None
     t_total = time.perf_counter() - t0
     meter.enabled = False
+    if debug:
+        print("frame ms:", [round(t) for t in frame_ms], file=sys.stderr)
+        print(system.tracker.stats.report(), file=sys.stderr)
+        mir = system.map.device_mirror()
+        store = system.map.device_kf_store()
+        print(f"mirror uploads: full={mir.n_full_uploads} "
+              f"rows={mir.n_row_uploads} kf_rows={store.n_row_uploads}",
+              file=sys.stderr, flush=True)
     m = n_frames - warm
     system.wait_mapping_idle()
     n_kf = system.map.n_keyframes()
@@ -325,9 +344,10 @@ def main() -> None:
     if os.environ.get("ORBSLAM2_BENCH_CPU"):  # correctness smoke-testing
         jax.config.update("jax_platforms", "cpu")
 
-    fused_fps = bench_fused_step(jax, jnp)
+    only = os.environ.get("ORBSLAM2_BENCH_ONLY")
+    fused_fps = 0.0 if only == "system" else bench_fused_step(jax, jnp)
     sys_stats = bench_system(jax, jnp)
-    sweep = bench_mesh_sweep(jax, jnp)
+    sweep = {} if only == "system" else bench_mesh_sweep(jax, jnp)
 
     out = {
         "metric": "system_fps",

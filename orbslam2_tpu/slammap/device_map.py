@@ -24,6 +24,23 @@ import numpy as np
 FIELDS = ("pt_pos", "pt_desc", "pt_valid", "pt_normal",
           "pt_min_dist", "pt_max_dist")
 
+_PT_BUCKETS = (64, 256, 1024, 4096, 16384, 65536)
+_KF_BUCKETS = (1, 2, 4, 8, 32, 128, 512, 2048)
+
+
+def _pad_bucket(ids: np.ndarray, buckets=_PT_BUCKETS) -> np.ndarray:
+    """Pad a dirty-row id list to a fixed bucket size so the scatter-update
+    program compiles once per bucket, not once per distinct count (every
+    mapping event produces a different number of dirty rows; an unpadded
+    .at[idx].set would recompile each time — tens of seconds per compile on
+    a remote compiler). Padding repeats the first id: duplicate scatter
+    indices writing identical rows are deterministic."""
+    n = len(ids)
+    b = next((b for b in buckets if n <= b), n)
+    out = np.full(b, ids[0] if n else 0, ids.dtype)
+    out[:n] = ids
+    return out
+
 
 class DeviceMapMirror:
     def __init__(self):
@@ -42,9 +59,10 @@ class DeviceMapMirror:
             self.arrays = {f: jnp.asarray(getattr(m, f)) for f in FIELDS}
             self.n_full_uploads += 1
         elif len(dirty_ids):
-            idx = jnp.asarray(dirty_ids, jnp.int32)
+            padded = _pad_bucket(dirty_ids)
+            idx = jnp.asarray(padded, jnp.int32)
             for f in FIELDS:
-                rows = jnp.asarray(getattr(m, f)[dirty_ids])
+                rows = jnp.asarray(getattr(m, f)[padded])
                 self.arrays[f] = self.arrays[f].at[idx].set(rows)
             self.n_row_uploads += 1
         self.gen = m.pt_dirty_gen
@@ -90,9 +108,10 @@ class DeviceKFStore:
                 self.arrays = {f: jnp.asarray(getattr(m, f))
                                for f in KF_FIELDS}
             elif len(dirty_ids):
-                idx = jnp.asarray(dirty_ids, jnp.int32)
+                padded = _pad_bucket(dirty_ids, _KF_BUCKETS)
+                idx = jnp.asarray(padded, jnp.int32)
                 for f in KF_FIELDS:
-                    rows = jnp.asarray(getattr(m, f)[dirty_ids])
+                    rows = jnp.asarray(getattr(m, f)[padded])
                     self.arrays[f] = self.arrays[f].at[idx].set(rows)
                 self.n_row_uploads += 1
         self.gen = m.kf_dirty_gen
