@@ -69,8 +69,10 @@ def make_system(args, sensor: Sensor, image_size=None,
             from orbslam2_tpu.place.vocabulary import load_vocabulary
             voc = load_vocabulary(args.vocabulary)
         else:
-            from orbslam2_tpu.place.pretrained import get_default_vocabulary
-            voc = get_default_vocabulary()
+            # drivers always load the largest shipped vocabulary, as the
+            # reference mains always load the full ORBvoc.txt
+            from orbslam2_tpu.place.pretrained import get_best_vocabulary
+            voc = get_best_vocabulary()
     system = SLAMSystem(cfg, sensor, vocabulary=voc)
     if getattr(args, "profile_stages", False):
         system.tracker.stats.enabled = True

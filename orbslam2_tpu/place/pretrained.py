@@ -30,6 +30,20 @@ def get_default_vocabulary(force_retrain: bool = False) -> voc_mod.Vocabulary:
     return voc
 
 
+_CACHE_XL = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l5.npz")
+
+
+def get_best_vocabulary() -> voc_mod.Vocabulary:
+    """Largest shipped vocabulary: XL (~100k words, k=10 depth-5 — the
+    reference-scale tier, mirroring how ORB-SLAM2 always loads the big
+    offline ORBvoc.txt at /root/reference/src/System.cc:68-80) falling back
+    to large (10k) then default (1k). Dataset drivers use this; unit tests
+    keep the small default for speed."""
+    if os.path.exists(_CACHE_XL):
+        return voc_mod.load_vocabulary(_CACHE_XL)
+    return get_large_vocabulary()
+
+
 def get_large_vocabulary() -> voc_mod.Vocabulary:
     """10k-word k=10 depth-4 tree (closer to the reference's k=10 depth-6
     ORBvoc scale; trained by tools/train_large_voc.py on a diverse

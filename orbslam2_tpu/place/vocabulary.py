@@ -68,10 +68,15 @@ class Vocabulary:
         k = self.k
         node = jnp.zeros(bits_pm1.shape[0], jnp.int32)  # slot at current level
         for lvl in range(self.levels):
-            c = jnp.asarray(self.centers[lvl]).astype(jnp.float32)
+            # keep the (possibly ~25 MB at XL scale) center table int8 inside
+            # the program and cast only the gathered [N, k, 256] rows — an
+            # up-front astype would be constant-folded into a 4x-larger f32
+            # table embedded in the compiled program
+            c = jnp.asarray(self.centers[lvl])
             # children of `node` are slots node*k .. node*k+k-1
             child_base = node * k
-            cand = c[child_base[:, None] + jnp.arange(k)[None, :]]  # [N, k, 256]
+            cand = c[child_base[:, None] + jnp.arange(k)[None, :]].astype(
+                jnp.float32)
             dots = jnp.einsum("nd,nkd->nk", bits_pm1, cand,
                               precision=jax.lax.Precision.DEFAULT)
             # dead children have zero centers -> dot 0; real ones in [-256,256]

@@ -133,7 +133,9 @@ class TestSparseKFDB:
         common = db._common_words(q)
         t = time.perf_counter() - t0
         assert scores.shape == (1536,) and common.shape == (1536,)
-        assert t < 0.5, f"scale query {t:.3f}s"
+        # generous bound: interactive-scale, robust to CI CPU contention
+        # (measured ~0.1s alone; flaked at 0.512s under a concurrent bench)
+        assert t < 1.5, f"scale query {t:.3f}s"
         w = np.zeros((1536, 1536), np.int32)
         t0 = time.perf_counter()
         db.detect_reloc_candidates(rng.integers(0, n_words, 1500), w)
