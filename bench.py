@@ -43,7 +43,9 @@ class RelayMeter:
 
     def install(self):
         import jax
-        from orbslam2_tpu.frontend import kernels, tracking
+        from orbslam2_tpu.backend import ba
+        from orbslam2_tpu.frontend import kernels, local_mapping, tracking
+        from orbslam2_tpu.slammap import device_map
 
         meter = self
         orig_get = jax.device_get
@@ -57,22 +59,44 @@ class RelayMeter:
                         meter.bytes_down += int(leaf.nbytes)
             return out
 
-        def count_up(fn):
+        def count_up(fn, fetches=0):
             def wrapped(*args, **kw):
                 if meter.enabled:
-                    for a in args:
+                    meter.n_fetch += fetches
+                    for a in jax.tree_util.tree_leaves((args, kw)):
                         if isinstance(a, np.ndarray):
                             meter.bytes_up += int(a.nbytes)
                 return fn(*args, **kw)
             return wrapped
 
-        # tracker fetch points all go through jax.device_get
+        # fetch points (tracker AND mapping worker) go through
+        # jax.device_get — patching the module attribute covers every
+        # `jax.device_get(...)` call site
+        jax.device_get = counted_get
         tracking.jax.device_get = counted_get
-        import orbslam2_tpu.frontend.frame as frame_mod
-        frame_mod.jax.device_get = counted_get
         # staging (host->device) happens at the fused kernels' numpy args
         kernels.motion_model_step = count_up(kernels.motion_model_step)
         kernels.local_map_step = count_up(kernels.local_map_step)
+        # worker staging: fused mapping programs + the device-mirror row
+        # scatters (each an upload + a dispatch round trip)
+        import orbslam2_tpu.frontend.triangulation as tri_mod
+        tri_mod.triangulate_neighbors = count_up(tri_mod.triangulate_neighbors)
+        kernels.fuse_targets = count_up(kernels.fuse_targets)
+        device_map._scatter_rows = count_up(device_map._scatter_rows,
+                                            fetches=1)
+
+        orig_ba = ba.bundle_adjust
+
+        def counted_ba(problem, cam, **kw):
+            if meter.enabled:
+                for leaf in jax.tree_util.tree_leaves(problem):
+                    if hasattr(leaf, "nbytes"):
+                        meter.bytes_up += int(leaf.nbytes)
+            return orig_ba(problem, cam, **kw)
+
+        # local_mapping calls through the shared ba module object
+        ba.bundle_adjust = counted_ba
+        assert local_mapping.ba is ba
 
 
 def measure_relay(jax, jnp):
@@ -126,12 +150,15 @@ def bench_system(jax, jnp) -> dict:
 
     cam = PinholeCamera(fx=520.0, fy=520.0, cx=320.0, cy=240.0,
                         width=640, height=480, bf=40.0)
-    # warmup must cover at least TWO keyframes past init so every program
-    # in the loop — tracking steps AND the mapping worker's batched
-    # triangulation/fusion/local-BA — is compiled before the timed window
-    # (remote compiles are 20-200 s here and would land in frame times)
-    n_frames = 32
-    warm = 14
+    # warmup must cover several keyframes past init so every program in the
+    # loop — tracking steps AND the mapping worker's batched triangulation/
+    # fusion/local-BA, including the dirty-row scatter programs for each
+    # padding bucket — is compiled before the timed window (remote compiles
+    # are 20-200 s here and would land in frame times); the timed window
+    # spans ~7 keyframe events so keyframe amortization is measured at
+    # steady state
+    n_frames = 68
+    warm = 26
     seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="lateral",
                             seed=3, world="cluttered")
     # pre-stage frames: the input pipeline is an async DMA prefetch in
@@ -179,6 +206,8 @@ def bench_system(jax, jnp) -> dict:
     if debug:
         print("frame ms:", [round(t) for t in frame_ms], file=sys.stderr)
         print(system.tracker.stats.report(), file=sys.stderr)
+        print("-- mapping worker --", file=sys.stderr)
+        print(system.local_mapper.stats.report(), file=sys.stderr)
         mir = system.map.device_mirror()
         store = system.map.device_kf_store()
         print(f"mirror uploads: full={mir.n_full_uploads} "

@@ -218,7 +218,9 @@ def fuse_targets(
     kf_angle: jax.Array,
     kf_valid: jax.Array,
     ids: jax.Array,            # [C] candidate point rows into the mirror
-    sel_valid: jax.Array,      # [C]
+    sel_valid: jax.Array,      # [T, C] per-target candidate mask (forward
+                               # and backward fuse share one program: each
+                               # target sees only its own candidate set)
     pt_pos_all: jax.Array,
     pt_desc_all: jax.Array,
     pt_valid_all: jax.Array,
@@ -243,23 +245,25 @@ def fuse_targets(
     n = kf_xy.shape[1]
 
     def one(args):
-        t, tv = args
+        t, tv, sel = args
         kp = Keypoints(
             xy=kf_xy[t], response=jnp.zeros((n,), jnp.float32),
             angle=kf_angle[t], octave=kf_octave[t],
             size=jnp.ones((n,), jnp.float32), desc=kf_desc[t],
             valid=kf_valid[t] & tv)
         info, res = search_local_points_gathered(
-            kf_pose_all[t], ids, sel_valid, pt_pos_all, pt_desc_all,
+            kf_pose_all[t], ids, sel, pt_pos_all, pt_desc_all,
             pt_valid_all, pt_normal_all, pt_min_all, pt_max_all,
             kp, jnp.zeros((n,), bool), radius_mult, cam,
             scale_factor, n_levels, max_hamming)
-        return res.assoc
+        # int16 halves the [T, N] fetch; candidate row indices are bounded
+        # by the candidate cap (<= ba_max_points, far below 32767)
+        return res.assoc.astype(jnp.int16)
 
     # lax.map (sequential scan), not vmap: each target materializes a
     # [C, N] distance matrix; T of them at once would be ~1 GB of HBM for
     # zero latency benefit — the point is ONE round trip, not T-way SIMD
-    return jax.lax.map(one, (target_ids, target_valid))
+    return jax.lax.map(one, (target_ids, target_valid, sel_valid))
 
 
 class TrackStepResult(NamedTuple):

@@ -70,6 +70,19 @@ class LocalMapper:
         self._recent: Dict[int, int] = {}
         self.interrupt_ba = False  # InterruptBA analogue (LocalMapping.cc:696)
         self.kfdb = None  # set by SLAMSystem when place recognition is on
+        from orbslam2_tpu.utils.profiling import StageTimer
+        self.stats = StageTimer(enabled=False)  # enabled with profile_stages
+        # map lock, shared with the tracker (SLAMSystem wires the tracker's
+        # RLock in). The reference's LocalMapping thread holds the map
+        # mutex only around host-state mutation, NOT across its solves —
+        # local BA runs unlocked and takes mMutexMapUpdate just for the
+        # write-back (Optimizer.cc:842-862, LocalMapping.cc:147-195). Each
+        # stage here follows that discipline: snapshot/stage under the
+        # lock, device program + fetch unlocked, apply under the lock with
+        # re-validation. Under the synchronous (non-worker) path the
+        # tracker's re-entrant lock makes these no-ops.
+        import threading
+        self.map_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     def on_first_keyframe(self, kf: int) -> None:
@@ -78,22 +91,40 @@ class LocalMapper:
     # ------------------------------------------------------------------
     def process_keyframe(self, kf: int) -> None:
         m = self.map
-        order = int(m.kf_order[kf])
-        # register newly created points for probation
-        for pid in np.unique(m.kf_pt[kf]):
-            if pid >= 0 and pid not in self._recent and m.pt_first_kf[pid] == kf:
-                self._recent[pid] = order
-        self._map_point_culling(order)
-        w = covisibility.weight_matrix(m)
-        self._create_new_map_points(kf, w)
-        self._search_in_neighbors(kf, w)
-        pts = np.unique(m.kf_pt[kf])
-        pts = pts[pts >= 0]
-        m.update_point_descriptor_and_normal(
-            pts, self.cfg.scale_factor, self.cfg.n_levels)
-        self._local_ba(kf, covisibility.weight_matrix(m))
-        self._keyframe_culling(kf, covisibility.weight_matrix(m))
-        m.change_index += 1
+        with self.stats.stage("mp_culling"), self.map_lock:
+            order = int(m.kf_order[kf])
+            # register newly created points for probation
+            for pid in np.unique(m.kf_pt[kf]):
+                if pid >= 0 and pid not in self._recent \
+                        and m.pt_first_kf[pid] == kf:
+                    self._recent[pid] = order
+            self._map_point_culling(order)
+            w = covisibility.weight_matrix(m)
+        # Triangulation and fusion run ATOMICALLY under the map lock: their
+        # device results are association decisions (new point pairs, merges)
+        # whose geometric validity was checked against the staged snapshot —
+        # applying them against a map the tracker moved on meanwhile merges
+        # distinct physical points and was measured to collapse tracking
+        # (race bisect: unlocked fuse alone -> lost 18/100 frames, unlocked
+        # triangulate -> 2.8x ATE). Only the local-BA SOLVE runs unlocked
+        # (below), mirroring the reference, whose g2o optimizations run
+        # outside the map mutex while Fuse/CreateNewMapPoints hold it
+        # (LocalMapping.cc:515-599 under GetMapMutex vs Optimizer.cc:598).
+        with self.stats.stage("triangulate"), self.map_lock:
+            self._create_new_map_points(kf, w)
+        with self.stats.stage("fuse"), self.map_lock:
+            self._search_in_neighbors(kf, w)
+            pts = np.unique(m.kf_pt[kf])
+            pts = pts[pts >= 0]
+            m.update_point_descriptor_and_normal(
+                pts, self.cfg.scale_factor, self.cfg.n_levels)
+        with self.stats.stage("local_ba"):
+            with self.map_lock:
+                w = covisibility.weight_matrix(m)
+            self._local_ba(kf, w)
+        with self.stats.stage("kf_culling"), self.map_lock:
+            self._keyframe_culling(kf, covisibility.weight_matrix(m))
+            m.change_index += 1
 
     # ------------------------------------------------------------------
     # MapPointCulling (LocalMapping.cc:195-235)
@@ -134,74 +165,79 @@ class LocalMapper:
         z = (m.pt_pos[pids] @ tcw[:3, :3].T + tcw[:3, 3])[:, 2]
         return float(np.median(z))
 
-    NB_CAP = 24       # padded neighbor batch for the one-dispatch program
-    TRI_OUT_CAP = 512  # compacted survivors fetched per neighbor
+    NB_CAP = 24        # padded neighbor batch for the one-dispatch program
+    TRI_OUT_CAP = 1024  # compacted survivors fetched across ALL neighbors
 
     def _create_new_map_points(self, kf: int, w: np.ndarray) -> None:
         from orbslam2_tpu.frontend.triangulation import triangulate_neighbors
         m = self.map
         cfg = self.cfg
-        n_neigh = cfg.triangulation_neighbors * (2 if cfg.monocular else 1)
-        neighbors = covisibility.best_covisible(w, kf, n_neigh)
-        if len(neighbors) == 0:
-            return
-        med_depth1 = self.scene_median_depth(kf)
-        c1 = -(m.kf_pose[kf][:3, :3].T @ m.kf_pose[kf][:3, 3])
-        # baseline gates on host (LocalMapping.cc:286-295)
-        keep = []
-        for nb in map(int, neighbors):
-            c2 = -(m.kf_pose[nb][:3, :3].T @ m.kf_pose[nb][:3, 3])
-            baseline = float(np.linalg.norm(c2 - c1))
-            if cfg.monocular:
-                if med_depth1 > 0 and baseline / med_depth1 < 0.01:
-                    continue
-            else:
-                if baseline < 0.01:
-                    continue
-            keep.append(nb)
-        keep = keep[: self.NB_CAP]
-        if not keep:
-            return
-        # one device program matches + triangulates against ALL neighbors
-        store = m.device_kf_store()
-        b = len(keep)
-        nb_ids = np.zeros(self.NB_CAP, np.int32)
-        nb_ids[:b] = keep
-        nb_valid = np.zeros(self.NB_CAP, bool)
-        nb_valid[:b] = True
-        free1 = (m.kf_pt[kf] < 0) & m.kf_kp_valid[kf]
-        free2 = np.zeros((self.NB_CAP, m.cap.n_features), bool)
-        free2[:b] = (m.kf_pt[np.array(keep)] < 0) & m.kf_kp_valid[np.array(keep)]
-        a = store.arrays
+        # --- stage under the lock -------------------------------------
+        with self.map_lock:
+            n_neigh = cfg.triangulation_neighbors * (2 if cfg.monocular else 1)
+            neighbors = covisibility.best_covisible(w, kf, n_neigh)
+            if len(neighbors) == 0:
+                return
+            med_depth1 = self.scene_median_depth(kf)
+            c1 = -(m.kf_pose[kf][:3, :3].T @ m.kf_pose[kf][:3, 3])
+            # baseline gates on host (LocalMapping.cc:286-295)
+            keep = []
+            for nb in map(int, neighbors):
+                c2 = -(m.kf_pose[nb][:3, :3].T @ m.kf_pose[nb][:3, 3])
+                baseline = float(np.linalg.norm(c2 - c1))
+                if cfg.monocular:
+                    if med_depth1 > 0 and baseline / med_depth1 < 0.01:
+                        continue
+                else:
+                    if baseline < 0.01:
+                        continue
+                keep.append(nb)
+            keep = keep[: self.NB_CAP]
+            if not keep:
+                return
+            # one device program matches + triangulates against ALL neighbors
+            store = m.device_kf_store()
+            b = len(keep)
+            nb_ids = np.zeros(self.NB_CAP, np.int32)
+            nb_ids[:b] = keep
+            nb_valid = np.zeros(self.NB_CAP, bool)
+            nb_valid[:b] = True
+            free1 = (m.kf_pt[kf] < 0) & m.kf_kp_valid[kf]
+            free2 = np.zeros((self.NB_CAP, m.cap.n_features), bool)
+            free2[:b] = (m.kf_pt[np.array(keep)] < 0) & m.kf_kp_valid[np.array(keep)]
+            a = store.arrays
+            pose = store.pose  # snapshot: a concurrent sync may swap it
+        # --- device program + fetch, unlocked (tracker frames proceed) --
         res = jax.device_get(triangulate_neighbors(
             np.int32(kf), free1, nb_ids,
-            nb_valid, free2, store.pose,
+            nb_valid, free2, pose,
             a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
             a["kf_kp_angle"], a["kf_kp_valid"], a["kf_kp_ur"],
             a["kf_kp_depth"], self.cam, cfg.scale_factor, cfg.n_levels,
             self.TRI_OUT_CAP))
-        new_pts = []
-        for bi, nb in enumerate(keep):
-            rows = np.where(res.idx1[bi] >= 0)[0]
-            for r in rows:
-                i = int(res.idx1[bi, r])
-                j = int(res.kp2_idx[bi, r])
+        # --- apply under the lock; slot occupancy is re-validated -------
+        with self.map_lock:
+            new_pts = []
+            for r in np.where(res.idx1 >= 0)[0]:
+                nb = keep[int(res.nb_slot[r])]
+                i = int(res.idx1[r])
+                j = int(res.kp2_idx[r])
                 if m.kf_pt[kf, i] >= 0 or m.kf_pt[nb, j] >= 0:
                     continue  # taken by an earlier pair this round
                 try:
-                    pid = m.add_point(res.points[bi, r], m.kf_kp_desc[kf, i],
+                    pid = m.add_point(res.points[r], m.kf_kp_desc[kf, i],
                                       kf, int(m.kf_frame_id[kf]))
                 except RuntimeError:
                     return  # capacity full; culling will free slots later
                 m.add_observation(kf, i, pid)
                 m.add_observation(nb, j, pid)
                 new_pts.append(pid)
-        if new_pts:
-            m.update_point_descriptor_and_normal(
-                np.array(new_pts), cfg.scale_factor, cfg.n_levels)
-            order = int(m.kf_order[kf])
-            for pid in new_pts:
-                self._recent[pid] = order
+            if new_pts:
+                m.update_point_descriptor_and_normal(
+                    np.array(new_pts), cfg.scale_factor, cfg.n_levels)
+                order = int(m.kf_order[kf])
+                for pid in new_pts:
+                    self._recent[pid] = order
 
     # ------------------------------------------------------------------
     # SearchInNeighbors / Fuse (LocalMapping.cc:515-599, ORBmatcher.cc:873-1038)
@@ -212,50 +248,68 @@ class LocalMapper:
         second_ring: List[int] = []
         for t in targets:
             second_ring.extend(covisibility.best_covisible(w, int(t), 5))
-        target_kfs = [t for t in dict.fromkeys([*targets, *second_ring]) if t != kf][:20]
+        target_kfs = [int(t) for t in dict.fromkeys([*targets, *second_ring])
+                      if t != kf][:20]
         if not target_kfs:
             return
-
         own_pts = np.unique(m.kf_pt[kf])
         own_pts = own_pts[own_pts >= 0]
         own_pts = own_pts[m.pt_valid[own_pts]]
-        # forward: fuse this KF's points into all neighbors (one program)
-        self._fuse_points_into_targets(own_pts, [int(t) for t in target_kfs])
-        # backward: fuse neighbors' points into this KF
         neigh_pts = np.unique(m.kf_pt[np.array(target_kfs)])
         neigh_pts = neigh_pts[neigh_pts >= 0]
         neigh_pts = neigh_pts[m.pt_valid[neigh_pts]]
-        self._fuse_points_into_targets(neigh_pts, [kf])
+        # forward (this KF's points into every neighbor) and backward
+        # (neighbors' points into this KF) share ONE device program: the
+        # per-target candidate mask keeps the reference's exact semantics
+        # (LocalMapping.cc:541-562) at half the round trips
+        cand = np.unique(np.concatenate([own_pts, neigh_pts])) \
+            if len(own_pts) + len(neigh_pts) else np.array([], np.int64)
+        cand = cand[: self.cfg.ba_max_points]
+        if len(cand) == 0:
+            return
+        sel_rows = np.zeros((len(target_kfs) + 1, len(cand)), bool)
+        sel_rows[:-1] = np.isin(cand, own_pts)[None, :]
+        sel_rows[-1] = np.isin(cand, neigh_pts)
+        self._fuse_matrix(cand, [*target_kfs, kf], sel_rows)
 
     FUSE_T_CAP = 24  # padded target batch for the one-dispatch fuse
 
     def _fuse_points_into_targets(self, pt_ids: np.ndarray,
                                   targets: List[int]) -> None:
-        """ORBmatcher::Fuse of the candidate points into every target
-        keyframe: ONE device program over the resident point mirror +
-        keyframe store, then per-target host arbitration (add observation
-        vs duplicate merge keeping the better-observed point)."""
-        m = self.map
+        """One shared candidate set fused into every target (loop-closing's
+        neighborhood fuse, LoopClosing.cc:651-675, uses this form)."""
         if len(pt_ids) == 0 or not targets:
             return
+        pt_ids = pt_ids[: self.cfg.ba_max_points]
+        sel_rows = np.ones((len(targets), len(pt_ids)), bool)
+        self._fuse_matrix(pt_ids, targets, sel_rows)
+
+    def _fuse_matrix(self, cand: np.ndarray, targets: List[int],
+                     sel_rows: np.ndarray) -> None:
+        """ORBmatcher::Fuse of per-target candidate subsets (`sel_rows`
+        [T, len(cand)]) into the targets: ONE device program over the
+        resident point mirror + keyframe store, then per-target host
+        arbitration (add observation vs duplicate merge keeping the
+        better-observed point)."""
+        m = self.map
         cap = self.cfg.ba_max_points
-        pt_ids = pt_ids[:cap]
-        n = len(pt_ids)
+        n = len(cand)
         mir = m.device_mirror()
         store = m.device_kf_store()
-        ids = np.zeros(cap, np.int32)
-        ids[:n] = pt_ids
-        sel = np.zeros(cap, bool)
-        sel[:n] = True
         a = store.arrays
+        pose = store.pose
+        ids = np.zeros(cap, np.int32)
+        ids[:n] = cand
         for t0 in range(0, len(targets), self.FUSE_T_CAP):
             chunk = targets[t0:t0 + self.FUSE_T_CAP]
             t_ids = np.zeros(self.FUSE_T_CAP, np.int32)
             t_ids[:len(chunk)] = chunk
             t_val = np.zeros(self.FUSE_T_CAP, bool)
             t_val[:len(chunk)] = True
+            sel = np.zeros((self.FUSE_T_CAP, cap), bool)
+            sel[:len(chunk), :n] = sel_rows[t0:t0 + self.FUSE_T_CAP]
             assoc_all = jax.device_get(kernels.fuse_targets(
-                t_ids, t_val, store.pose,
+                t_ids, t_val, pose,
                 a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
                 a["kf_kp_angle"], a["kf_kp_valid"],
                 ids, sel,
@@ -264,7 +318,7 @@ class LocalMapper:
                 self.cfg.fuse_radius / 4.0 * 4.0, self.cam,
                 self.cfg.scale_factor, self.cfg.n_levels, 50))
             for i, t in enumerate(chunk):
-                self._apply_fuse_assoc(pt_ids, t, assoc_all[i])
+                self._apply_fuse_assoc(cand, t, assoc_all[i])
 
     def _apply_fuse_assoc(self, pt_ids: np.ndarray, kf: int,
                           assoc: np.ndarray) -> None:
@@ -299,6 +353,23 @@ class LocalMapper:
     # Local bundle adjustment (Optimizer.cc:528-862)
     # ------------------------------------------------------------------
     def _local_ba(self, kf: int, w: np.ndarray) -> None:
+        with self.map_lock:
+            staged = self._local_ba_stage(kf, w)
+        if staged is None:
+            return
+        problem, pt_fixed, apply_ctx = staged
+        # solve unlocked: the reference likewise runs the g2o optimization
+        # outside the map mutex and takes mMutexMapUpdate only for the
+        # write-back (Optimizer.cc:598-607, 842-862)
+        res = ba.bundle_adjust(problem, self.cam,
+                               point_fixed=jnp.asarray(pt_fixed))
+        new_poses = np.asarray(res.poses)
+        new_points = np.asarray(res.points)
+        inlier = np.asarray(res.inlier)
+        with self.map_lock:
+            self._local_ba_apply(apply_ctx, new_poses, new_points, inlier)
+
+    def _local_ba_stage(self, kf: int, w: np.ndarray):
         m = self.map
         cfg = self.cfg
         local = [kf, *[int(t) for t in covisibility.covisible_neighbors(w, kf)]]
@@ -310,7 +381,7 @@ class LocalMapper:
         pts = pts[pts >= 0]
         pts = pts[m.pt_valid[pts]][: cfg.ba_max_points]
         if len(pts) < 20 or len(local) < 2:
-            return
+            return None
         pt_slot = {int(p): i for i, p in enumerate(pts)}
 
         # fixed cameras: other KFs observing these points (second ring) —
@@ -355,7 +426,7 @@ class LocalMapper:
         ci_idx, slot_idx = np.nonzero(pslot >= 0)
         n_obs = min(len(ci_idx), cfg.ba_max_obs)
         if n_obs < 30:
-            return
+            return None
         ci_idx, slot_idx = ci_idx[:n_obs], slot_idx[:n_obs]
         sel_kf = cams_arr[ci_idx]
         ur = m.kf_kp_ur[sel_kf, slot_idx]
@@ -387,18 +458,24 @@ class LocalMapper:
         )
         pt_fixed = np.zeros(cfg.ba_max_points, bool)
         pt_fixed[len(pts):] = True
-        res = ba.bundle_adjust(problem, self.cam, point_fixed=jnp.asarray(pt_fixed))
+        apply_ctx = (cam_slot, cam_fixed, pts, sel_kf, slot_idx, n_obs)
+        return problem, pt_fixed, apply_ctx
 
-        new_poses = np.asarray(res.poses)
-        new_points = np.asarray(res.points)
+    def _local_ba_apply(self, apply_ctx, new_poses: np.ndarray,
+                        new_points: np.ndarray, inlier: np.ndarray) -> None:
+        """Write back BA results under the map lock, re-validating against
+        mutations that landed while the solve ran unlocked (a concurrent
+        async-GBA apply or reset may have culled keyframes/points)."""
+        m = self.map
+        cam_slot, cam_fixed, pts, sel_kf, slot_idx, n_obs = apply_ctx
         for c, i in cam_slot.items():
-            if not cam_fixed[i]:
+            if not cam_fixed[i] and m.kf_valid[c]:
                 m.kf_pose[c] = new_poses[i]
-        m.pt_pos[pts] = new_points[: len(pts)]
-        m.mark_pts_dirty(pts)
+        still = m.pt_valid[pts]
+        m.pt_pos[pts[still]] = new_points[: len(pts)][still]
+        m.mark_pts_dirty(pts[still])
         # erase outlier observations (Optimizer.cc:792-839) — the staging
         # above kept each observation's (kf, slot), so this is one scatter
-        inlier = np.asarray(res.inlier)
         bad = ~inlier[:n_obs]
         if bad.any():
             m.kf_pt[sel_kf[bad], slot_idx[bad]] = -1

@@ -305,6 +305,10 @@ class LoopCloser:
         fuser.map = m
         fuser.cam = self.cam
         fuser.cfg = LocalMapperConfig(scale_factor=cfg.scale_factor, n_levels=cfg.n_levels)
+        # loop correction runs under the caller's map lock already; the
+        # fuser's own stage locks must be re-entrant with it
+        fuser.map_lock = getattr(self, "map_lock", None) \
+            or __import__("threading").RLock()
         fuser._fuse_points_into_targets(hood_pts, window)
 
         # essential-graph optimization (cc:680-703 -> Optimizer.cc:885)

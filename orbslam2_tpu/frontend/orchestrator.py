@@ -69,9 +69,13 @@ class MappingWorker:
                 break
             kf, word_ids = item
             try:
-                with self.map_lock:
-                    if self.local_mapper is not None:
-                        self.local_mapper.process_keyframe(kf)
+                # the local mapper manages its own lock scope: host-state
+                # staging/apply under the shared map lock, device solves
+                # unlocked so tracker frames are never blocked behind a
+                # multi-round-trip mapping stage (the reference likewise
+                # holds mMutexMapUpdate only across write-backs)
+                if self.local_mapper is not None:
+                    self.local_mapper.process_keyframe(kf)
                 if self.loop_closer is not None and word_ids is not None:
                     with self.map_lock:
                         if self.loop_closer.process_keyframe(kf, word_ids):

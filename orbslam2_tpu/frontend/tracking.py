@@ -363,9 +363,12 @@ class Tracker:
         order = cand[np.argsort(depth[cand])]
         close = order[(depth[order] < self.cfg.th_depth)]
         take = order[:max(len(close), min(100, len(order)))]
+        # full fixed-shape backproject (a `[take]`-shaped argument would
+        # trigger a fresh device compile per distinct count)
+        pc_all = np.asarray(self.cam.backproject(
+            jnp.asarray(h.xy), jnp.asarray(depth)))
         xy = h.xy[take]
-        pc = np.asarray(self.cam.backproject(
-            jnp.asarray(xy), jnp.asarray(depth[take])))
+        pc = pc_all[take]
         twc = np.linalg.inv(last.tcw)
         pw = pc @ twc[:3, :3].T + twc[:3, 3]
         self._vo_mask = np.zeros(last.n, bool)
@@ -765,7 +768,8 @@ class Tracker:
     # keyframe creation (Tracking::CreateNewKeyFrame, Tracking.cc:1306-1389)
     # ------------------------------------------------------------------
     def _create_new_keyframe(self, fr: frame_mod.Frame) -> None:
-        kf = self._insert_keyframe(fr)
+        with self.stats.stage("kf_insert"):
+            kf = self._insert_keyframe(fr)
         self.ref_kf = kf
         self.last_kf_frame_id = fr.frame_id
         # existing associations become observations
@@ -777,31 +781,38 @@ class Tracker:
         depth, valid = h.depth, h.valid
         candidates = np.where(valid & (depth > 0) & (fr.pt_ids < 0))[0]
         if len(candidates):
-            order = candidates[np.argsort(depth[candidates])]
-            xy = h.xy
-            desc = h.desc
-            pts_cam = np.asarray(self.cam.backproject(
-                jnp.asarray(xy[order]), jnp.asarray(depth[order])))
-            twc = np.linalg.inv(fr.tcw)
-            pts_w = pts_cam @ twc[:3, :3].T + twc[:3, 3]
-            new_pts = []
-            for j, i in enumerate(order):
-                if depth[i] > self.cfg.th_depth and j >= self.cfg.max_new_points_per_kf:
-                    break
-                if self.map.free_point_slots() == 0:
-                    break  # capacity: culling frees slots later
-                pid = self.map.add_point(pts_w[j], desc[i], kf, fr.frame_id)
-                self.map.add_observation(kf, i, pid)
-                fr.pt_ids[i] = pid
-                new_pts.append(pid)
-            self.map.update_point_descriptor_and_normal(
-                np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
-        self._covis_w = covisibility.weight_matrix(self.map)
-        covisibility.assign_spanning_parent(self.map, self._covis_w, kf)
+            with self.stats.stage("kf_new_points"):
+                order = candidates[np.argsort(depth[candidates])]
+                xy = h.xy
+                desc = h.desc
+                # backproject the FULL fixed-shape arrays and index after:
+                # a `xy[order]` argument changes shape every keyframe, and
+                # each new shape is a fresh (multi-second, remote) compile
+                pts_cam_all = np.asarray(self.cam.backproject(
+                    jnp.asarray(xy), jnp.asarray(depth)))
+                pts_cam = pts_cam_all[order]
+                twc = np.linalg.inv(fr.tcw)
+                pts_w = pts_cam @ twc[:3, :3].T + twc[:3, 3]
+                new_pts = []
+                for j, i in enumerate(order):
+                    if depth[i] > self.cfg.th_depth and j >= self.cfg.max_new_points_per_kf:
+                        break
+                    if self.map.free_point_slots() == 0:
+                        break  # capacity: culling frees slots later
+                    pid = self.map.add_point(pts_w[j], desc[i], kf, fr.frame_id)
+                    self.map.add_observation(kf, i, pid)
+                    fr.pt_ids[i] = pid
+                    new_pts.append(pid)
+                self.map.update_point_descriptor_and_normal(
+                    np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+        with self.stats.stage("kf_covis"):
+            self._covis_w = covisibility.weight_matrix(self.map)
+            covisibility.assign_spanning_parent(self.map, self._covis_w, kf)
         wids = self._word_ids(fr) if self.vocabulary is not None else None
         if self.mapping_worker is not None:
             # async: hand the keyframe to the background worker
-            self.mapping_worker.insert_keyframe(kf, wids)
+            with self.stats.stage("kf_handoff"):
+                self.mapping_worker.insert_keyframe(kf, wids)
             return
         if self.local_mapper is not None:
             self.local_mapper.process_keyframe(kf)

@@ -123,9 +123,14 @@ def triangulate_pair(
 
 
 class BatchedTriangulation(NamedTuple):
-    idx1: jax.Array      # [B, M] kp index in KF1 (-1 = pad)
-    kp2_idx: jax.Array   # [B, M] matched kp index in the neighbor
-    points: jax.Array    # [B, M, 3] world points
+    """Survivors compacted ACROSS neighbors into one flat list: the fetch
+    is [G] rows instead of [B, M] (B=24 neighbors x M=512 slots = 245 KB;
+    a keyframe yields a few hundred real survivors, so G=1024 rows = 24 KB
+    — 10x less traffic through a remote-device link)."""
+    nb_slot: jax.Array   # [G] neighbor batch index (-1 = pad)
+    idx1: jax.Array      # [G] kp index in KF1 (-1 = pad)
+    kp2_idx: jax.Array   # [G] matched kp index in the neighbor
+    points: jax.Array    # [G, 3] world points
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor",
@@ -152,7 +157,7 @@ def triangulate_neighbors(
     """CreateNewMapPoints' epipolar matching + triangulation against ALL
     neighbor keyframes in ONE device program (LocalMapping.cc:237-513 loops
     targets; round-1 launched one kernel per neighbor). Results compacted
-    to out_cap survivors per neighbor so the fetch stays small."""
+    to out_cap survivors ACROSS all neighbors so the fetch stays small."""
     from orbslam2_tpu.ops.orb import Keypoints
 
     n = kf_xy.shape[1]
@@ -176,18 +181,23 @@ def triangulate_neighbors(
             tcw1, kp1, free1, ur1, depth1,
             kf_pose_all[nb], kp2, f2, kf_ur[nb], kf_depth[nb],
             cam, scale_factor, n_levels)
-        won = res.kp2_idx >= 0
-        order = jnp.argsort(~won)          # stable: winners first, in order
-        keep = won[order][:out_cap]
-        idx1 = jnp.where(keep, order[:out_cap], -1)
-        kp2i = jnp.where(keep, res.kp2_idx[order[:out_cap]], -1)
-        pts = res.points[order[:out_cap]]
-        return idx1, kp2i, pts
+        return res.kp2_idx, res.points
 
     # lax.map, not vmap: each pair builds dense [N, N] epipolar/Hamming
     # matrices; the batching goal is one host round trip, not B-way SIMD
-    idx1, kp2i, pts = jax.lax.map(one, (nb_ids, nb_valid, free2))
-    return BatchedTriangulation(idx1=idx1, kp2_idx=kp2i, points=pts)
+    kp2i_all, pts_all = jax.lax.map(one, (nb_ids, nb_valid, free2))
+
+    # global compaction: winners from ALL neighbors, in (neighbor, slot)
+    # order, into one fixed [out_cap] list
+    won = (kp2i_all >= 0).reshape(-1)                    # [B*N]
+    order = jnp.argsort(~won)[:out_cap]                  # stable
+    keep = won[order]
+    nb_slot = jnp.where(keep, order // n, -1).astype(jnp.int32)
+    idx1 = jnp.where(keep, order % n, -1).astype(jnp.int32)
+    kp2i = jnp.where(keep, kp2i_all.reshape(-1)[order], -1).astype(jnp.int32)
+    pts = pts_all.reshape(-1, 3)[order]
+    return BatchedTriangulation(nb_slot=nb_slot, idx1=idx1, kp2_idx=kp2i,
+                                points=pts)
 
 
 def _pairwise_epipolar(xy1: jax.Array, xy2: jax.Array, f12: jax.Array) -> jax.Array:

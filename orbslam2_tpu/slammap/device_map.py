@@ -28,6 +28,14 @@ _PT_BUCKETS = (64, 256, 1024, 4096, 16384, 65536)
 _KF_BUCKETS = (1, 2, 4, 8, 32, 128, 512, 2048)
 
 
+@jax.jit
+def _scatter_rows(arrays: dict, idx: jax.Array, rows: dict) -> dict:
+    """One device dispatch updating every field's dirty rows (per-field
+    .at[].set calls are ~6-13 separate dispatches; through a high-latency
+    link each dispatch costs a full round trip)."""
+    return {f: arrays[f].at[idx].set(rows[f]) for f in arrays}
+
+
 def _pad_bucket(ids: np.ndarray, buckets=_PT_BUCKETS) -> np.ndarray:
     """Pad a dirty-row id list to a fixed bucket size so the scatter-update
     program compiles once per bucket, not once per distinct count (every
@@ -61,9 +69,8 @@ class DeviceMapMirror:
         elif len(dirty_ids):
             padded = _pad_bucket(dirty_ids)
             idx = jnp.asarray(padded, jnp.int32)
-            for f in FIELDS:
-                rows = jnp.asarray(getattr(m, f)[padded])
-                self.arrays[f] = self.arrays[f].at[idx].set(rows)
+            rows = {f: jnp.asarray(getattr(m, f)[padded]) for f in FIELDS}
+            self.arrays = _scatter_rows(self.arrays, idx, rows)
             self.n_row_uploads += 1
         self.gen = m.pt_dirty_gen
 
@@ -110,9 +117,9 @@ class DeviceKFStore:
             elif len(dirty_ids):
                 padded = _pad_bucket(dirty_ids, _KF_BUCKETS)
                 idx = jnp.asarray(padded, jnp.int32)
-                for f in KF_FIELDS:
-                    rows = jnp.asarray(getattr(m, f)[padded])
-                    self.arrays[f] = self.arrays[f].at[idx].set(rows)
+                rows = {f: jnp.asarray(getattr(m, f)[padded])
+                        for f in KF_FIELDS}
+                self.arrays = _scatter_rows(self.arrays, idx, rows)
                 self.n_row_uploads += 1
         self.gen = m.kf_dirty_gen
         # poses: cheap full upload each sync (e.g. [1536, 4, 4] = 96 KB)

@@ -44,6 +44,7 @@ class SLAMSystem:
             LocalMapperConfig(scale_factor=config.orb.scale_factor,
                               n_levels=config.orb.n_levels,
                               monocular=(sensor == Sensor.MONOCULAR)))
+        self.local_mapper.stats.enabled = config.profile_stages
         self.vocabulary = vocabulary
         self.kfdb = None
         self.loop_closer = None
@@ -59,6 +60,9 @@ class SLAMSystem:
                                  async_gba=config.async_mapping))
             self.local_mapper.kfdb = self.kfdb
         self.tracker = Tracker(config, self.map, self.local_mapper)
+        # one shared map lock: tracker frames, mapping-stage write-backs,
+        # and the GBA thread all serialize host-map mutation through it
+        self.local_mapper.map_lock = self.tracker.map_lock
         if self.loop_closer is not None:
             # one map lock shared by tracking, mapping, and the GBA thread
             self.loop_closer.map_lock = self.tracker.map_lock
