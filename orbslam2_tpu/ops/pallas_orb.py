@@ -5,18 +5,22 @@ moments on the raw level image + 512 descriptor samples on the blurred
 image; reference IC_Angle /root/reference/src/ORBextractor.cc:83-111 and
 computeOrbDescriptor cc:116-157) with ONE kernel that, per keypoint:
 
-1. loads a 48x256 window of the raw and blurred level images straight from
-   VMEM (both images are VMEM-resident for the whole call; level images are
-   at most 480x640 f32 = 1.2 MB each). The window start is tile-aligned
-   (8 sublanes / 128 lanes), and the keypoint's sub-tile offset (rb, cb)
-   is NOT resolved by shifting data — it is absorbed into index arithmetic
-   (a lesson from the v1 kernel, whose four dynamic pltpu.rolls per
-   keypoint dominated its runtime),
+1. loads a 48x128 window of the raw and blurred level images straight from
+   VMEM. The window start is tile-aligned (16 sublanes / 128 lanes), and
+   the keypoint's sub-tile offset (rb, cb) is NOT resolved by shifting data
+   — it is absorbed into index arithmetic (a lesson from the v1 kernel,
+   whose four dynamic pltpu.rolls per keypoint dominated its runtime).
+   The 128-lane window width (v3 used 256) is bought with TWO phase copies
+   of each image, shifted 0 and 64 columns: picking the copy whose 64-cell
+   contains the patch's left edge bounds the sub-tile column offset to
+   [0, 63], so offset + 31-column patch fits one 128-lane tile. Halves
+   window loads, the one-hot build, the moment math, and the descriptor
+   matmul's contraction passes,
 2. computes the intensity-centroid moments with disc/moment weights built
    on the fly from (rb, cb)-shifted iotas over the raw window,
 3. rotates the BRIEF pattern by the resulting angle and gathers the 512
    samples with a column-one-hot matmul on the MXU
-   (win[48,256] @ onehot_cols^T[256,512] in bfloat16 — one-hot selection
+   (win[48,128] @ onehot_cols^T[128,512] in bfloat16 — one-hot selection
    of bf16-rounded pixels is exact) followed by a row-select masked
    reduction on the VPU; (rb, cb) shift the one-hot targets for free,
 4. stores the 256 comparison bits as one f32 row; the uint32 packing is a
@@ -45,12 +49,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALF_PATCH = 15
-WIN_R = 48          # window rows: 31-row patch + 7 rows of sublane-alignment
-                    # slack + up to 13 rows of bottom-clip slack, padded to a
-                    # bf16 sublane-tile multiple (16)
-WIN_C = 256         # window cols: 31-col patch + 127 lanes of alignment
-                    # slack + up to 221 cols of right-clip slack fits because
-                    # keypoints respect EDGE_MARGIN >= 19
+WIN_R = 48          # window rows: 31-row patch + up to 15 rows of 16-sublane
+                    # alignment offset -> 46, padded to a bf16 sublane-tile
+                    # multiple (16)
+WIN_C = 128         # window cols: 31-col patch + up to 63 lanes of phase
+                    # offset -> 94, padded to one 128-lane tile. Valid only
+                    # because keypoints respect EDGE_MARGIN >= 19 and the
+                    # phase copies bound cb to [0, 63]
+PHASE = 64          # column shift between the two image phase copies
 
 
 def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
@@ -58,20 +64,26 @@ def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
     k = pl.program_id(0)
     y = ys_ref[k]
     x = xs_ref[k]
-    h = raw_ref.shape[0]
-    wp = raw_ref.shape[1]
+    h = raw_ref.shape[1]
+    wp = raw_ref.shape[2]
 
     # 16-row alignment: the blur image is bf16 (sublane tile 16); the same
     # start is trivially 8-aligned for the f32 raw image
     ya = jnp.clip(((y - HALF_PATCH) // 16) * 16, 0, h - WIN_R)
     ya = pl.multiple_of(ya, 16)
     rb = y - HALF_PATCH - ya                    # patch row offset, in [0, 15]
-    xa = jnp.clip(((x - HALF_PATCH) // 128) * 128, 0, wp - WIN_C)
+    # column phase: pick the copy whose 64-column cell holds the patch's
+    # left edge; the in-copy window start is then 128-aligned with the
+    # remaining offset cb in [0, 63] (clips only on garbage/invalid slots)
+    xl = x - HALF_PATCH
+    a = xl // PHASE
+    ph = jnp.clip(a % 2, 0, 1)
+    xa = jnp.clip((a // 2) * 128, 0, wp - WIN_C)
     xa = pl.multiple_of(xa, 128)
-    cb = x - HALF_PATCH - xa                    # patch col offset, in [0, 221]
+    cb = xl - ph * PHASE - xa                   # patch col offset, in [0, 63]
 
     # ---- orientation: moments with iota-shifted disc weights -------------
-    win_raw = raw_ref[pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
+    win_raw = raw_ref[ph, pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
     ir = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, WIN_C), 0)
     ic = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, WIN_C), 1)
     dyy = ir - rb - HALF_PATCH                  # patch-centered row offset
@@ -102,9 +114,9 @@ def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
     # comparison bits. Explicit DEFAULT precision: the package-wide f32
     # matmul default would request an fp32 contraction on bf16 operands,
     # which Mosaic rejects.
-    win_blur = blur_ref[pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
+    win_blur = blur_ref[ph, pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, 512), 0)
-    oh_ct = (cols_iota == col_t).astype(jnp.bfloat16)           # [256c, 512]
+    oh_ct = (cols_iota == col_t).astype(jnp.bfloat16)           # [128c, 512]
     tmp = jnp.dot(win_blur, oh_ct, preferred_element_type=jnp.float32,
                   precision=jax.lax.Precision.DEFAULT)          # [48, 512]
     rows_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, 512), 0)
@@ -117,6 +129,14 @@ def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
     mom_ref[k, 0] = m10
     mom_ref[k, 1] = m01
     bits_ref[k, :] = bits.reshape(256)
+
+
+def _phase_copies(img: jax.Array, wp2: int, hp: int) -> jax.Array:
+    """[H, W] -> [2, hp, wp2]: phase 0 = the image, phase 1 = shifted left
+    by PHASE columns; both zero-padded to the copy domain."""
+    h, w = img.shape
+    src = jnp.pad(img, ((0, hp - h), (0, max(PHASE + wp2 - w, 0))))
+    return jnp.stack([src[:, :wp2], src[:, PHASE:PHASE + wp2]])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -132,15 +152,14 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
     h, w = raw.shape
     kcount = ys.shape[0]
     blur = blur.astype(jnp.bfloat16)
-    # pad width to a lane multiple with room for one full window
-    wp = max(WIN_C, ((w + 127) // 128) * 128)
-    if wp != w:
-        raw = jnp.pad(raw, ((0, 0), (0, wp - w)))
-        blur = jnp.pad(blur, ((0, 0), (0, wp - w)))
+    # copy-domain width: the largest in-copy window start is
+    # 128 * ((xl_max // 64) // 2) with xl_max = w - 35 (EDGE_MARGIN >= 19),
+    # and the window extends 128 columns past it
+    m_max = ((w - 2 * HALF_PATCH - 5) // PHASE) // 2 if w >= 40 else 0
+    wp2 = 128 * max(1, m_max + 1)
     hp = max(((h + 15) // 16) * 16, WIN_R)
-    if hp != h:
-        raw = jnp.pad(raw, ((0, hp - h), (0, 0)))
-        blur = jnp.pad(blur, ((0, hp - h), (0, 0)))
+    raw2 = _phase_copies(raw, wp2, hp)
+    blur2 = _phase_copies(blur, wp2, hp)
 
     # pattern -> [1, 512] lane layout, a-points then b-points
     dx = jnp.concatenate([pattern[:, 0, 0], pattern[:, 1, 0]]).reshape(1, 512)
@@ -150,8 +169,8 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
         num_scalar_prefetch=2,
         grid=(kcount,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # raw
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # blur
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # raw phase copies
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # blur phase copies
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dx
             pl.BlockSpec(memory_space=pltpu.VMEM),  # dy
         ],
@@ -173,7 +192,7 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(ys, xs, raw, blur, dx, dy)
+    )(ys, xs, raw2, blur2, dx, dy)
     angle = jnp.arctan2(mom[:kcount, 1], mom[:kcount, 0])
     # batched uint32 packing: one whole-array pass instead of per-keypoint
     # M=1 matmuls inside the kernel
