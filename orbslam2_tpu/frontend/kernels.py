@@ -330,16 +330,20 @@ def local_map_step(
     pt_max_all: jax.Array,
     kp: Keypoints,
     frame_ur: jax.Array,
+    frame_depth: jax.Array,
     prior_pos: jax.Array,      # [N, 3] world pos for already-matched slots
     prior_mask: jax.Array,     # [N] bool slot already has an association
     radius_mult: float,
     cam: PinholeCamera,
     scale_factor: float = 1.2,
     n_levels: int = 8,
-) -> TrackStepResult:
+):
     """TrackLocalMap's device work in ONE program (Tracking.cc:1125-1188):
     gathered local-point projection search + merged observation staging +
-    the frame's second pose optimization."""
+    the frame's second pose optimization. Returns (step, depth, ur): the
+    keyframe decision right after this step reads depth/ur
+    (Tracking.cc:1229-1247), so riding them on this fetch saves the frame
+    its separate host_depth_ur round trip."""
     info, res = search_local_points_gathered(
         tcw, ids, sel_valid, pt_pos_all, pt_desc_all, pt_valid_all,
         pt_normal_all, pt_min_all, pt_max_all, kp, prior_mask,
@@ -353,7 +357,7 @@ def local_map_step(
     tcw_new, inlier, n_in = pose_opt.pose_optimization(tcw, obs, cam)
     return TrackStepResult(
         tcw=tcw_new, n_inliers=n_in, inlier=inlier, assoc=assoc,
-        n_matches=used.sum(), visible=info.visible)
+        n_matches=used.sum(), visible=info.visible), frame_depth, frame_ur
 
 
 def build_pose_obs_from_frame(

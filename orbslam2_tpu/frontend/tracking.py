@@ -625,13 +625,15 @@ class Tracker:
             ids[:n_local] = pt_ids
             sel = np.zeros(cap, bool)
             sel[:n_local] = ~already
-            step = jax.device_get(kernels.local_map_step(
+            step, depth_h, ur_h = jax.device_get(kernels.local_map_step(
                 fr.tcw, ids, sel,
                 mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
                 mir.pt_min_dist, mir.pt_max_dist,
-                fr.kp, fr.ur, prior_pos,
+                fr.kp, fr.ur, fr.depth, prior_pos,
                 prior_mask, radius_mult, self.cam,
                 self.cfg.orb.scale_factor, self.cfg.orb.n_levels))
+            if fr._host is None and fr._host_depth is None:
+                fr._host_depth = (depth_h, ur_h)
             assoc, visible = step.assoc, step.visible
         else:
             c = cap
