@@ -181,7 +181,29 @@ def bench_system(jax, jnp) -> dict:
                      # ~1 KF per 6 frames (TUM cadence): keyframe creation
                      # and the mapping worker's load are part of the metric
                      force_kf_every=6)
-    system = SLAMSystem(cfg, Sensor.RGBD)
+    # full reference workload: the vocabulary is always loaded
+    # (System.cc:68-80) and every keyframe pays BoW transform + keyframe-
+    # database bookkeeping for loop detection
+    from orbslam2_tpu.place.pretrained import get_best_vocabulary
+    system = SLAMSystem(cfg, Sensor.RGBD, vocabulary=get_best_vocabulary())
+    # pre-compile the dirty-row scatter programs for EVERY padding bucket:
+    # bucket transitions (dirty-row counts crossing 64/256/1024/... as the
+    # map grows) otherwise land multi-second remote compiles inside the
+    # timed window
+    from orbslam2_tpu.slammap import device_map as dm
+    import jax.numpy as _jnp
+    mmap = system.map
+    mir0 = mmap.device_mirror()
+    store0 = mmap.device_kf_store()
+    for buckets, fields, arrs in (
+            (dm._PT_BUCKETS, dm.FIELDS, mir0.arrays),
+            (dm._KF_BUCKETS, dm.KF_FIELDS, store0.arrays)):
+        for b in buckets:
+            idx = _jnp.zeros(b, _jnp.int32)
+            rows = {f: _jnp.zeros((b,) + arrs[f].shape[1:], arrs[f].dtype)
+                    for f in fields}
+            dm._scatter_rows(arrs, idx, rows)  # result discarded: compile only
+
     # warmup: initialization + first keyframes compile every program in the
     # loop (extraction, fused steps, worker kernels)
     for i in range(warm):

@@ -485,8 +485,8 @@ class Tracker:
         if n_matches < 15:
             return False
         fr.pt_ids[:] = -1
-        for q in np.where(best_kp >= 0)[0]:
-            fr.pt_ids[best_kp[q]] = kf_pt[q]
+        sel = best_kp >= 0  # targets unique (resolve_conflicts)
+        fr.pt_ids[best_kp[sel]] = kf_pt[sel]
         if self.last_frame is not None:
             fr.tcw = self.last_frame.tcw.copy()
         else:  # e.g. first frame after a map load: start from the ref KF
@@ -774,10 +774,10 @@ class Tracker:
             kf = self._insert_keyframe(fr)
         self.ref_kf = kf
         self.last_kf_frame_id = fr.frame_id
-        # existing associations become observations
-        for i in np.where(fr.pt_ids >= 0)[0]:
-            if self.map.pt_valid[fr.pt_ids[i]]:
-                self.map.add_observation(kf, i, int(fr.pt_ids[i]))
+        # existing associations become observations (one scatter)
+        obs_sel = (fr.pt_ids >= 0) & self.map.pt_valid[np.maximum(fr.pt_ids, 0)]
+        self.map.kf_pt[kf, obs_sel] = fr.pt_ids[obs_sel]
+        self.map.touch_obs()
         # RGBD/stereo: spawn points for the closest unmatched keypoints
         h = fr.host_kp()
         depth, valid = h.depth, h.valid

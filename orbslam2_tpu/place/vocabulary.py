@@ -53,26 +53,33 @@ class Vocabulary:
         One cached jitted program per vocabulary: the whole L-level descent
         (gathers + Hamming matmuls) is a single device dispatch — the eager
         per-level op chain costs ~3L round trips per keyframe over a remote
-        device link."""
+        device link. Center tables are passed as device-resident ARGUMENTS
+        (uploaded once by device_put), not baked into the program: at XL
+        scale the leaf table is ~25 MB int8, which as a constant would ride
+        along with the compiled executable."""
         if self._transform_jit is None:
             self._transform_jit = jax.jit(self._descend)
+            self._centers_dev = tuple(
+                jax.device_put(jnp.asarray(c)) for c in self.centers)
         return self._transform_jit(jnp.asarray(desc_packed),
-                                   jnp.asarray(valid))
+                                   jnp.asarray(valid), self._centers_dev)
 
-    def _descend(self, desc_packed, valid):
+    def _descend(self, desc_packed, valid, centers):
         bits = unpack_bits(desc_packed).astype(jnp.float32) * 2.0 - 1.0
-        return self.transform_pm1(bits, valid)
+        return self._descend_pm1(bits, valid, centers)
 
     def transform_pm1(self, bits_pm1, valid):
         """[N, 256] {-1,+1} -> word ids [N] int32."""
+        return self._descend_pm1(bits_pm1, valid,
+                                 [jnp.asarray(c) for c in self.centers])
+
+    def _descend_pm1(self, bits_pm1, valid, centers):
         k = self.k
         node = jnp.zeros(bits_pm1.shape[0], jnp.int32)  # slot at current level
         for lvl in range(self.levels):
-            # keep the (possibly ~25 MB at XL scale) center table int8 inside
-            # the program and cast only the gathered [N, k, 256] rows — an
-            # up-front astype would be constant-folded into a 4x-larger f32
-            # table embedded in the compiled program
-            c = jnp.asarray(self.centers[lvl])
+            # int8 table; cast only the gathered [N, k, 256] rows (an
+            # up-front astype materializes a 4x-larger f32 table)
+            c = centers[lvl]
             # children of `node` are slots node*k .. node*k+k-1
             child_base = node * k
             cand = c[child_base[:, None] + jnp.arange(k)[None, :]].astype(
