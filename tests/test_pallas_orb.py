@@ -68,6 +68,37 @@ def test_fused_kernel_matches_xla_path(setup):
     assert ham.max() <= 40, ham
 
 
+@pytest.mark.parametrize("h,w", [(480, 640), (96, 200), (120, 1241)])
+def test_fused_kernel_edge_keypoints(h, w):
+    """Phase-copy window geometry at the extremes: keypoints hugging every
+    edge margin and straddling each 64-column phase cell, at widths that
+    exercise the copy-domain padding (including a KITTI-like 1241)."""
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    k = orb.gaussian_kernel1d(1.5, 3)
+    img = np.asarray(orb._separable_conv(jnp.asarray(img), k))
+    blur = np.asarray(orb._separable_conv(jnp.asarray(img), orb.gaussian_kernel1d(2.0, 3)))
+    m = orb.EDGE_MARGIN
+    xs_list = [m, m + 1, w - m - 1, w - m - 2]
+    xs_list += [x for x in range(m, w - m, 61)]  # sweep phase offsets
+    ys_list = [m, m + 1, h - m - 1, h - m - 2] + [h // 2] * max(
+        0, len(xs_list) - 4)
+    n = min(len(xs_list), len(ys_list))
+    xs = np.array(xs_list[:n], np.int32)
+    ys = np.array(ys_list[:n], np.int32)
+    pattern = orb.make_pattern(orb.ORBConfig().pattern_seed)
+    ang_ref, desc_ref = xla_reference(img, blur, ys, xs, pattern)
+    ang, desc = pallas_orb.fused_orient_describe(
+        jnp.asarray(img), jnp.asarray(blur), jnp.asarray(ys), jnp.asarray(xs),
+        jnp.asarray(pattern), interpret=True)
+    ang, desc = np.asarray(ang), np.asarray(desc)
+    d = np.abs(np.arctan2(np.sin(ang - ang_ref), np.cos(ang - ang_ref)))
+    assert d.max() < 1e-3, d.max()
+    ham = np.unpackbits((desc ^ desc_ref).view(np.uint8), axis=1).sum(axis=1)
+    assert np.median(ham) <= 4, ham
+    assert ham.max() <= 40, ham
+
+
 def test_extractor_pallas_mode_end_to_end(setup):
     """Full extractor with use_pallas=True (interpret on CPU) against the
     XLA-path extractor: keypoints identical, descriptors near-identical."""
