@@ -90,6 +90,16 @@ def run_loop(system: SLAMSystem, frames: Iterable, track: Callable,
     n = 0
     with ctx:
         for item in frames:
+            # sustainable offline cadence: the reference mains sleep to the
+            # dataset timestamps (mono_tum.cc:84-96), which lets the mapping
+            # thread keep pace; for offline processing we instead gate on
+            # the worker's backlog — full speed while mapping keeps up,
+            # never starving the map of keyframes when it doesn't
+            if system.mapping_worker is not None:
+                t0 = time.perf_counter()
+                while (system.mapping_worker.queue_size() >= 2
+                       and time.perf_counter() - t0 < 10.0):
+                    time.sleep(0.005)
             t0 = time.perf_counter()
             track(system, item)
             times.append(time.perf_counter() - t0)

@@ -89,7 +89,15 @@ class LocalMapper:
         pass
 
     # ------------------------------------------------------------------
-    def process_keyframe(self, kf: int) -> None:
+    def process_keyframe(self, kf: int, backlog: bool = False) -> None:
+        """`backlog`: more keyframes are already queued behind this one —
+        the tracker is outrunning mapping (only possible when input arrives
+        faster than real time, e.g. offline max-rate drives). Triangulation
+        and fusion then run atomically under the map lock, which throttles
+        the tracker and lets mapping catch up — the same graceful
+        degradation the reference gets from its AcceptKeyFrames gate; at
+        sustainable cadence the optimistic fast path never blocks the
+        tracker."""
         m = self.map
         with self.stats.stage("mp_culling"), self.map_lock:
             order = int(m.kf_order[kf])
@@ -100,24 +108,38 @@ class LocalMapper:
                     self._recent[pid] = order
             self._map_point_culling(order)
             w = covisibility.weight_matrix(m)
-        # Triangulation and fusion run ATOMICALLY under the map lock: their
-        # device results are association decisions (new point pairs, merges)
-        # whose geometric validity was checked against the staged snapshot —
-        # applying them against a map the tracker moved on meanwhile merges
-        # distinct physical points and was measured to collapse tracking
-        # (race bisect: unlocked fuse alone -> lost 18/100 frames, unlocked
-        # triangulate -> 2.8x ATE). Only the local-BA SOLVE runs unlocked
-        # (below), mirroring the reference, whose g2o optimizations run
-        # outside the map mutex while Fuse/CreateNewMapPoints hold it
-        # (LocalMapping.cc:515-599 under GetMapMutex vs Optimizer.cc:598).
-        with self.stats.stage("triangulate"), self.map_lock:
-            self._create_new_map_points(kf, w)
-        with self.stats.stage("fuse"), self.map_lock:
-            self._search_in_neighbors(kf, w)
-            pts = np.unique(m.kf_pt[kf])
-            pts = pts[pts >= 0]
-            m.update_point_descriptor_and_normal(
-                pts, self.cfg.scale_factor, self.cfg.n_levels)
+        # Triangulation and fusion apply association decisions (new point
+        # pairs, merges) whose geometric validity was checked against the
+        # staged snapshot — applying them against a map the tracker moved
+        # on meanwhile merges distinct physical points and was measured to
+        # collapse tracking (race bisect: unlocked fuse alone -> 18/100
+        # frames lost, unlocked triangulate -> 2.8x ATE). They therefore
+        # run OPTIMISTICALLY: snapshot + generation capture under the lock,
+        # device solve unlocked, apply under the lock ONLY if the map's
+        # generation counters prove nothing changed; on a conflict (a
+        # keyframe landed mid-solve — rare at keyframe cadence) the stage
+        # reruns atomically. The local-BA solve below runs unlocked
+        # unconditionally (pose/point refinement is not associative), as
+        # in the reference (Optimizer.cc:598 vs LocalMapping.cc:515-599).
+        with self.stats.stage("triangulate"):
+            if backlog:
+                with self.map_lock:
+                    self._create_new_map_points(kf, w, atomic=True)
+            elif self._create_new_map_points(kf, w) == "conflict":
+                with self.map_lock:
+                    self._create_new_map_points(kf, w, atomic=True)
+        with self.stats.stage("fuse"):
+            if backlog:
+                with self.map_lock:
+                    self._search_in_neighbors(kf, w, atomic=True)
+            elif self._search_in_neighbors(kf, w) == "conflict":
+                with self.map_lock:
+                    self._search_in_neighbors(kf, w, atomic=True)
+            with self.map_lock:
+                pts = np.unique(m.kf_pt[kf])
+                pts = pts[pts >= 0]
+                m.update_point_descriptor_and_normal(
+                    pts, self.cfg.scale_factor, self.cfg.n_levels)
         with self.stats.stage("local_ba"):
             with self.map_lock:
                 w = covisibility.weight_matrix(m)
@@ -168,12 +190,23 @@ class LocalMapper:
     NB_CAP = 24        # padded neighbor batch for the one-dispatch program
     TRI_OUT_CAP = 1024  # compacted survivors fetched across ALL neighbors
 
-    def _create_new_map_points(self, kf: int, w: np.ndarray) -> None:
+    def _map_gens(self):
+        """Generation triple covering every mutation that can invalidate a
+        staged association decision: observation edits (obs_gen), point
+        add/erase/move (pt_dirty_gen), keyframe add/erase (kf_dirty_gen).
+        Counter-less mutations (found/visible counters, spanning-tree
+        parents) do not affect triangulation/fuse applies."""
+        m = self.map
+        return (m.obs_gen, m.pt_dirty_gen, m.kf_dirty_gen)
+
+    def _create_new_map_points(self, kf: int, w: np.ndarray,
+                               atomic: bool = False):
         from orbslam2_tpu.frontend.triangulation import triangulate_neighbors
         m = self.map
         cfg = self.cfg
         # --- stage under the lock -------------------------------------
         with self.map_lock:
+            gens = self._map_gens()
             n_neigh = cfg.triangulation_neighbors * (2 if cfg.monocular else 1)
             neighbors = covisibility.best_covisible(w, kf, n_neigh)
             if len(neighbors) == 0:
@@ -215,8 +248,10 @@ class LocalMapper:
             a["kf_kp_angle"], a["kf_kp_valid"], a["kf_kp_ur"],
             a["kf_kp_depth"], self.cam, cfg.scale_factor, cfg.n_levels,
             self.TRI_OUT_CAP))
-        # --- apply under the lock; slot occupancy is re-validated -------
+        # --- apply under the lock; generation-validated -----------------
         with self.map_lock:
+            if not atomic and self._map_gens() != gens:
+                return "conflict"  # nothing applied; caller reruns atomically
             new_pts = []
             for r in np.where(res.idx1 >= 0)[0]:
                 nb = keep[int(res.nb_slot[r])]
@@ -242,35 +277,40 @@ class LocalMapper:
     # ------------------------------------------------------------------
     # SearchInNeighbors / Fuse (LocalMapping.cc:515-599, ORBmatcher.cc:873-1038)
     # ------------------------------------------------------------------
-    def _search_in_neighbors(self, kf: int, w: np.ndarray) -> None:
+    def _search_in_neighbors(self, kf: int, w: np.ndarray,
+                             atomic: bool = False):
         m = self.map
-        targets = list(covisibility.best_covisible(w, kf, 10))
-        second_ring: List[int] = []
-        for t in targets:
-            second_ring.extend(covisibility.best_covisible(w, int(t), 5))
-        target_kfs = [int(t) for t in dict.fromkeys([*targets, *second_ring])
-                      if t != kf][:20]
-        if not target_kfs:
-            return
-        own_pts = np.unique(m.kf_pt[kf])
-        own_pts = own_pts[own_pts >= 0]
-        own_pts = own_pts[m.pt_valid[own_pts]]
-        neigh_pts = np.unique(m.kf_pt[np.array(target_kfs)])
-        neigh_pts = neigh_pts[neigh_pts >= 0]
-        neigh_pts = neigh_pts[m.pt_valid[neigh_pts]]
-        # forward (this KF's points into every neighbor) and backward
-        # (neighbors' points into this KF) share ONE device program: the
-        # per-target candidate mask keeps the reference's exact semantics
-        # (LocalMapping.cc:541-562) at half the round trips
-        cand = np.unique(np.concatenate([own_pts, neigh_pts])) \
-            if len(own_pts) + len(neigh_pts) else np.array([], np.int64)
-        cand = cand[: self.cfg.ba_max_points]
-        if len(cand) == 0:
-            return
-        sel_rows = np.zeros((len(target_kfs) + 1, len(cand)), bool)
-        sel_rows[:-1] = np.isin(cand, own_pts)[None, :]
-        sel_rows[-1] = np.isin(cand, neigh_pts)
-        self._fuse_matrix(cand, [*target_kfs, kf], sel_rows)
+        with self.map_lock:
+            gens = None if atomic else self._map_gens()
+            targets = list(covisibility.best_covisible(w, kf, 10))
+            second_ring: List[int] = []
+            for t in targets:
+                second_ring.extend(covisibility.best_covisible(w, int(t), 5))
+            target_kfs = [int(t) for t in
+                          dict.fromkeys([*targets, *second_ring])
+                          if t != kf][:20]
+            if not target_kfs:
+                return None
+            own_pts = np.unique(m.kf_pt[kf])
+            own_pts = own_pts[own_pts >= 0]
+            own_pts = own_pts[m.pt_valid[own_pts]]
+            neigh_pts = np.unique(m.kf_pt[np.array(target_kfs)])
+            neigh_pts = neigh_pts[neigh_pts >= 0]
+            neigh_pts = neigh_pts[m.pt_valid[neigh_pts]]
+            # forward (this KF's points into every neighbor) and backward
+            # (neighbors' points into this KF) share ONE device program:
+            # the per-target candidate mask keeps the reference's exact
+            # semantics (LocalMapping.cc:541-562) at half the round trips
+            cand = np.unique(np.concatenate([own_pts, neigh_pts])) \
+                if len(own_pts) + len(neigh_pts) else np.array([], np.int64)
+            cand = cand[: self.cfg.ba_max_points]
+            if len(cand) == 0:
+                return None
+            sel_rows = np.zeros((len(target_kfs) + 1, len(cand)), bool)
+            sel_rows[:-1] = np.isin(cand, own_pts)[None, :]
+            sel_rows[-1] = np.isin(cand, neigh_pts)
+        return self._fuse_matrix(cand, [*target_kfs, kf], sel_rows,
+                                 gens=gens)
 
     FUSE_T_CAP = 24  # padded target batch for the one-dispatch fuse
 
@@ -285,19 +325,25 @@ class LocalMapper:
         self._fuse_matrix(pt_ids, targets, sel_rows)
 
     def _fuse_matrix(self, cand: np.ndarray, targets: List[int],
-                     sel_rows: np.ndarray) -> None:
+                     sel_rows: np.ndarray, gens=None):
         """ORBmatcher::Fuse of per-target candidate subsets (`sel_rows`
         [T, len(cand)]) into the targets: ONE device program over the
         resident point mirror + keyframe store, then per-target host
         arbitration (add observation vs duplicate merge keeping the
-        better-observed point)."""
+        better-observed point). With `gens` set, each chunk's apply is
+        generation-validated (optimistic concurrency — see
+        process_keyframe); returns "conflict" without applying if the map
+        changed since staging."""
         m = self.map
         cap = self.cfg.ba_max_points
         n = len(cand)
-        mir = m.device_mirror()
-        store = m.device_kf_store()
-        a = store.arrays
-        pose = store.pose
+        with self.map_lock:
+            mir = m.device_mirror()
+            store = m.device_kf_store()
+            a = store.arrays
+            pose = store.pose
+            mpos, mdesc, mval = mir.pt_pos, mir.pt_desc, mir.pt_valid
+            mnrm, mmin, mmax = mir.pt_normal, mir.pt_min_dist, mir.pt_max_dist
         ids = np.zeros(cap, np.int32)
         ids[:n] = cand
         for t0 in range(0, len(targets), self.FUSE_T_CAP):
@@ -313,12 +359,17 @@ class LocalMapper:
                 a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
                 a["kf_kp_angle"], a["kf_kp_valid"],
                 ids, sel,
-                mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
-                mir.pt_min_dist, mir.pt_max_dist,
+                mpos, mdesc, mval, mnrm, mmin, mmax,
                 self.cfg.fuse_radius / 4.0 * 4.0, self.cam,
                 self.cfg.scale_factor, self.cfg.n_levels, 50))
-            for i, t in enumerate(chunk):
-                self._apply_fuse_assoc(cand, t, assoc_all[i])
+            with self.map_lock:
+                if gens is not None and self._map_gens() != gens:
+                    return "conflict"
+                for i, t in enumerate(chunk):
+                    self._apply_fuse_assoc(cand, t, assoc_all[i])
+                if gens is not None:
+                    gens = self._map_gens()  # our applies advanced them
+        return None
 
     def _apply_fuse_assoc(self, pt_ids: np.ndarray, kf: int,
                           assoc: np.ndarray) -> None:

@@ -73,9 +73,12 @@ class MappingWorker:
                 # staging/apply under the shared map lock, device solves
                 # unlocked so tracker frames are never blocked behind a
                 # multi-round-trip mapping stage (the reference likewise
-                # holds mMutexMapUpdate only across write-backs)
+                # holds mMutexMapUpdate only across write-backs). With a
+                # backlog (tracker outrunning mapping) the stages turn
+                # atomic, throttling the tracker until mapping catches up.
                 if self.local_mapper is not None:
-                    self.local_mapper.process_keyframe(kf)
+                    self.local_mapper.process_keyframe(
+                        kf, backlog=self.queue.qsize() > 0)
                 if self.loop_closer is not None and word_ids is not None:
                     with self.map_lock:
                         if self.loop_closer.process_keyframe(kf, word_ids):

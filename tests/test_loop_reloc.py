@@ -36,9 +36,21 @@ class TestLoopClosing:
         system = make_system(voc, force_kf_every=4)
         system.loop_closer.cfg.consistency_threshold = 2
         system.local_mapper.cfg.kf_cull_redundancy = 2.0
+        import time
         for i in range(seq.n_frames):
+            # sustainable cadence: at max drive rate this 2-vCPU box outruns
+            # the mapping worker and the keyframe gate (AcceptKeyFrames
+            # analogue) starts rejecting — reference mains sleep-to-timestamp
+            t0 = time.time()
+            while (system.mapping_worker is not None
+                   and system.mapping_worker.queue_size() >= 2
+                   and time.time() - t0 < 10.0):
+                time.sleep(0.01)
             gray, depth = seq.render(i)
             system.track_rgbd(gray, depth, i / seq.fps)
+        # drain the async worker: the loop-closing keyframe may still be
+        # queued when the sequence ends
+        system.wait_mapping_idle()
         assert system.loop_closer.n_loops_closed >= 1
         # loop edge recorded in the map graph
         n_loop_edges = sum(len(e) for e in system.map.kf_loop_edges)
