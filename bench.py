@@ -77,6 +77,7 @@ class RelayMeter:
         # staging (host->device) happens at the fused kernels' numpy args
         kernels.motion_model_step = count_up(kernels.motion_model_step)
         kernels.local_map_step = count_up(kernels.local_map_step)
+        kernels.fused_frame_step = count_up(kernels.fused_frame_step)
         # worker staging: fused mapping programs + the device-mirror row
         # scatters (each an upload + a dispatch round trip)
         import orbslam2_tpu.frontend.triangulation as tri_mod
@@ -173,14 +174,16 @@ def bench_system(jax, jnp) -> dict:
     import os
     import sys
     debug = bool(os.environ.get("ORBSLAM2_BENCH_DEBUG"))
+    # the REFERENCE keyframe decision runs live (NeedNewKeyFrame c1a/c1b/c2
+    # + close-point logic, no forced cadence): keyframe creation and the
+    # mapping worker's load enter the metric exactly as the logic dictates;
+    # max_frames_between_kf = fps as the reference sets mMaxFrames
+    # (Tracking.cc:124)
     cfg = SLAMConfig(cam=cam, orb=ORBConfig(n_features=2000, n_levels=8),
                      th_depth=6.0, max_keyframes=64, max_points=16384,
-                     local_point_cap=4096, max_frames_between_kf=10,
+                     local_point_cap=4096, max_frames_between_kf=30,
                      min_init_features=400, async_mapping=True,
-                     profile_stages=debug,
-                     # ~1 KF per 6 frames (TUM cadence): keyframe creation
-                     # and the mapping worker's load are part of the metric
-                     force_kf_every=6)
+                     profile_stages=debug)
     # full reference workload: the vocabulary is always loaded
     # (System.cc:68-80) and every keyframe pays BoW transform + keyframe-
     # database bookkeeping for loop detection
@@ -265,16 +268,36 @@ def bench_system(jax, jnp) -> dict:
 # ---------------------------------------------------------------------------
 def bench_mesh_sweep(jax, jnp) -> dict:
     """Production-scale distributed GBA (256 KF / 16k pts / 64k obs) per
-    mesh size. Only meaningful with >1 device — skipped on the single-chip
-    bench host (ROADMAP mesh-sweep mode; run under
-    XLA_FLAGS=--xla_force_host_platform_device_count=8 for a CPU sweep)."""
+    mesh size. With >1 real device, timed on hardware. On the single-chip
+    bench host, a subprocess sweeps a reduced problem on a virtual
+    8-device CPU mesh instead (relative trend only — virtual devices share
+    cores; labeled accordingly in the artifact)."""
     from __graft_entry__ import make_gba_problem
     from orbslam2_tpu.parallel import dist_ba
     from orbslam2_tpu.parallel.mesh import make_mesh
 
     n_dev = len(jax.devices())
     if n_dev < 2:
-        return {}
+        import os
+        import subprocess
+        import sys
+        if os.environ.get("ORBSLAM2_BENCH_NO_CPU_SWEEP"):
+            return {}
+        env = dict(os.environ,
+                   JAX_PLATFORMS="cpu",
+                   ORBSLAM2_BENCH_CPU="1",
+                   XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                              + " --xla_force_host_platform_device_count=8"
+                              ).strip())
+        try:
+            r = subprocess.run(
+                [sys.executable, __file__, "--mesh-sweep-only"], env=env,
+                capture_output=True, text=True, timeout=900)
+            line = [ln for ln in r.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            return {"gba_ms_by_mesh_cpu_virtual": json.loads(line)}
+        except Exception:
+            return {}
     out = {}
     for size in [s for s in (1, 2, 4, 8, 16) if s <= n_dev]:
         mesh = make_mesh(size)
@@ -285,6 +308,28 @@ def bench_mesh_sweep(jax, jnp) -> dict:
         t = min(_timed(lambda: np.asarray(run().poses)) for _ in range(2))
         out[f"mesh{size}"] = round(t * 1e3, 1)
     return {"gba_ms_by_mesh": out}
+
+
+def mesh_sweep_cpu_main() -> None:
+    """Subprocess entry: reduced-scale GBA sweep on the virtual CPU mesh."""
+    import jax
+    from __graft_entry__ import make_gba_problem
+    from orbslam2_tpu.parallel import dist_ba
+    from orbslam2_tpu.parallel.mesh import make_mesh
+
+    jax.config.update("jax_platforms", "cpu")
+    out = {}
+    for size in (1, 2, 4, 8):
+        if size > len(jax.devices()):
+            break
+        mesh = make_mesh(size)
+        problem, cam = make_gba_problem(64, 4096, 16384)
+        run = lambda: dist_ba.distributed_bundle_adjust(
+            problem, cam, mesh, phase_iters=(2, 2), pcg_iters=8)
+        np.asarray(run().poses)  # compile
+        t = min(_timed(lambda: np.asarray(run().poses)) for _ in range(2))
+        out[f"mesh{size}"] = round(t * 1e3, 1)
+    print(json.dumps(out))
 
 
 # ---------------------------------------------------------------------------
@@ -413,4 +458,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+    if "--mesh-sweep-only" in _sys.argv:
+        mesh_sweep_cpu_main()
+    else:
+        main()

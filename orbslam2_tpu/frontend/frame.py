@@ -76,29 +76,36 @@ class Frame:
         return self._host
 
 
+def _rgbd_build(extractor: ORBExtractor, cam: PinholeCamera, gray, depth_img):
+    """Traceable RGB-D frame build: ORB extraction, keypoint undistortion,
+    depth sampling, and virtual-right synthesis uR = u - bf/d
+    (Frame::UndistortKeyPoints + ComputeStereoFromRGBD,
+    /root/reference/src/Frame.cc:470-515, 754-775). Shared by the
+    standalone frame program and the fused whole-frame tracking program
+    (frontend/kernels.fused_frame_step)."""
+    kp = extractor(gray)
+    und_xy = cam.undistort_points(kp.xy)
+    # depth lookup at raw (distorted) keypoint coords
+    xs = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0,
+                  cam.width - 1)
+    ys = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0,
+                  cam.height - 1)
+    d = depth_img[ys, xs]
+    has_depth = (d > 0) & kp.valid
+    ur = jnp.where(has_depth,
+                   und_xy[:, 0] - cam.bf / jnp.where(d > 0, d, 1.0), -1.0)
+    kp = Keypoints(
+        xy=und_xy, response=kp.response, angle=kp.angle,
+        octave=kp.octave, size=kp.size, desc=kp.desc, valid=kp.valid)
+    return kp, ur, jnp.where(has_depth, d, -1.0)
+
+
 @functools.lru_cache(maxsize=8)
 def _rgbd_program(extractor: ORBExtractor, cam: PinholeCamera):
-    """One fused jitted program per (extractor, camera): ORB extraction,
-    keypoint undistortion, depth sampling, and virtual-right synthesis
-    uR = u - bf/d (Frame::UndistortKeyPoints + ComputeStereoFromRGBD,
-    /root/reference/src/Frame.cc:470-515, 754-775) — a single device
+    """One jitted _rgbd_build per (extractor, camera) — a single device
     dispatch per RGB-D frame."""
     def run(gray, depth_img):
-        kp = extractor(gray)
-        und_xy = cam.undistort_points(kp.xy)
-        # depth lookup at raw (distorted) keypoint coords
-        xs = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0,
-                      cam.width - 1)
-        ys = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0,
-                      cam.height - 1)
-        d = depth_img[ys, xs]
-        has_depth = (d > 0) & kp.valid
-        ur = jnp.where(has_depth,
-                       und_xy[:, 0] - cam.bf / jnp.where(d > 0, d, 1.0), -1.0)
-        kp = Keypoints(
-            xy=und_xy, response=kp.response, angle=kp.angle,
-            octave=kp.octave, size=kp.size, desc=kp.desc, valid=kp.valid)
-        return kp, ur, jnp.where(has_depth, d, -1.0)
+        return _rgbd_build(extractor, cam, gray, depth_img)
     return jax.jit(run)
 
 
@@ -128,24 +135,33 @@ def build_frame_rgbd(
     )
 
 
+def _stereo_build(extractor: ORBExtractor, cam: PinholeCamera,
+                  scale_factor: float, gl, gr):
+    """Traceable stereo frame build: extract both images, reuse the shared
+    blurred pyramids for SAD sub-pixel stereo matching, and undistort (the
+    reference runs two extraction std::threads + a scalar matching loop,
+    Frame.cc:82-85, 577-751). -> (kp with undistorted xy, ur, depth)."""
+    from orbslam2_tpu.ops.stereo import match_stereo
+    n_levels = extractor.config.n_levels
+    kp_l, pyr_l = extractor.extract_with_pyramid(gl)
+    kp_r, pyr_r = extractor.extract_with_pyramid(gr)
+    ur, depth = match_stereo(kp_l, kp_r, pyr_l, pyr_r, cam,
+                             scale_factor, n_levels)
+    und_xy = cam.undistort_points(kp_l.xy)
+    kp = Keypoints(
+        xy=und_xy, response=kp_l.response, angle=kp_l.angle,
+        octave=kp_l.octave, size=kp_l.size, desc=kp_l.desc, valid=kp_l.valid)
+    return kp, ur, depth
+
+
 @functools.lru_cache(maxsize=8)
 def _stereo_program(extractor: ORBExtractor, cam: PinholeCamera,
                     scale_factor: float):
-    """One fused jitted program per (extractor, camera): extract both
-    images, reuse the shared blurred pyramids for SAD sub-pixel stereo
-    matching, and undistort — a single device dispatch per stereo frame
-    (the reference runs two extraction std::threads + a scalar matching
-    loop, Frame.cc:82-85, 577-751)."""
-    n_levels = extractor.config.n_levels
-
+    """One jitted _stereo_build per (extractor, camera) — a single device
+    dispatch per stereo frame."""
     def run(gl, gr):
-        from orbslam2_tpu.ops.stereo import match_stereo
-        kp_l, pyr_l = extractor.extract_with_pyramid(gl)
-        kp_r, pyr_r = extractor.extract_with_pyramid(gr)
-        ur, depth = match_stereo(kp_l, kp_r, pyr_l, pyr_r, cam,
-                                 scale_factor, n_levels)
-        und_xy = cam.undistort_points(kp_l.xy)
-        return kp_l, und_xy, ur, depth
+        kp, ur, depth = _stereo_build(extractor, cam, scale_factor, gl, gr)
+        return kp, kp.xy, ur, depth
 
     import jax as _jax
     return _jax.jit(run)
@@ -166,11 +182,7 @@ def build_frame_stereo(
     extractor's own blurred pyramids (no rebuild)."""
     gl = jnp.asarray(gray_left, dtype=jnp.float32)
     gr = jnp.asarray(gray_right, dtype=jnp.float32)
-    kp_l, und_xy, ur, depth = _stereo_program(extractor, cam, scale_factor)(gl, gr)
-    kp = Keypoints(
-        xy=und_xy, response=kp_l.response, angle=kp_l.angle, octave=kp_l.octave,
-        size=kp_l.size, desc=kp_l.desc, valid=kp_l.valid,
-    )
+    kp, _, ur, depth = _stereo_program(extractor, cam, scale_factor)(gl, gr)
     n = kp.n
     return Frame(
         frame_id=frame_id,
@@ -184,15 +196,20 @@ def build_frame_stereo(
     )
 
 
+def _mono_build(extractor: ORBExtractor, cam: PinholeCamera, gray):
+    """Traceable mono frame build: extraction + undistortion."""
+    kp = extractor(gray)
+    und_xy = cam.undistort_points(kp.xy)
+    return Keypoints(
+        xy=und_xy, response=kp.response, angle=kp.angle,
+        octave=kp.octave, size=kp.size, desc=kp.desc, valid=kp.valid)
+
+
 @functools.lru_cache(maxsize=8)
 def _mono_program(extractor: ORBExtractor, cam: PinholeCamera):
     """Fused extraction + undistortion (one dispatch per mono frame)."""
     def run(gray):
-        kp = extractor(gray)
-        und_xy = cam.undistort_points(kp.xy)
-        return Keypoints(
-            xy=und_xy, response=kp.response, angle=kp.angle,
-            octave=kp.octave, size=kp.size, desc=kp.desc, valid=kp.valid)
+        return _mono_build(extractor, cam, gray)
     return jax.jit(run)
 
 

@@ -360,6 +360,164 @@ def local_map_step(
         n_matches=used.sum(), visible=info.visible), frame_depth, frame_ur
 
 
+class FusedFrameOut(NamedTuple):
+    """One-fetch-per-frame bundle of the fused whole-frame program.
+
+    `kp/ur/depth` stay on device (the Frame's arrays + next frame's
+    motion-model carry); everything else is the compact host fetch."""
+    kp: Keypoints
+    ur: jax.Array          # [N]
+    depth: jax.Array       # [N]
+    tcw: jax.Array         # [4, 4] pose after the local-map optimization
+    pt_ids: jax.Array      # [N] final map-point id per keypoint (-1 = none)
+    is_outlier: jax.Array  # [N] associated but chi2-rejected
+    visible: jax.Array     # [C] local candidate passed the frustum gates
+    mm_matches: jax.Array  # [] motion-model matches (widened if needed)
+    mm_inliers: jax.Array  # [] motion-model pose inliers
+    n_inliers: jax.Array   # [] final (local-map) pose inliers
+    tracked_close: jax.Array      # [] close points tracked (KF decision)
+    non_tracked_close: jax.Array  # [] close points unmatched
+
+
+def _fused_track_core(kp, ur, depth, tcw_pred, last_kp, last_pid,
+                      local_ids, local_sel, radius_mult, th_depth,
+                      pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max,
+                      cam, scale_factor, n_levels):
+    """Motion-model search + pose opt + local-map search + second pose opt
+    on the freshly built frame — the device side of one whole tracked frame
+    (Tracking.cc:354-424 OK-state path) in a single program.
+
+    Design notes (TPU-first, no reference analogue):
+    - last frame's map-point positions are gathered from the resident
+      mirror via `last_pid` (the carry is one [N] int32 array, not 3 MB of
+      keypoint rows);
+    - the local candidate list `local_ids` is the HOST's selection from the
+      PREVIOUS frame (one-frame lag): covisibility changes per keyframe
+      event, not per frame, and the lag removes the host round trip that
+      split the frame into two programs. The host refreshes the list right
+      after each fetch.
+    """
+    p_cap = pt_pos.shape[0]
+
+    # --- motion-model search (radius 15 -> widen 30) + first pose opt ---
+    last_pos = pt_pos[jnp.clip(last_pid, 0, p_cap - 1)]
+    last_valid = (last_pid >= 0) & pt_valid[jnp.clip(last_pid, 0, p_cap - 1)]
+    res1 = search_by_projection_last(
+        tcw_pred, last_pos, last_valid, last_kp.desc, last_kp.octave,
+        last_kp.angle, kp, 15.0, cam, scale_factor, n_levels)
+    n15 = (res1.assoc >= 0).sum()
+    assoc = jax.lax.cond(
+        n15 < 20,
+        lambda _: search_by_projection_last(
+            tcw_pred, last_pos, last_valid, last_kp.desc, last_kp.octave,
+            last_kp.angle, kp, 30.0, cam, scale_factor, n_levels).assoc,
+        lambda _: res1.assoc,
+        None)
+    matched = assoc >= 0
+    n_last = last_pid.shape[0]
+    pid_mm = jnp.where(matched, last_pid[jnp.clip(assoc, 0, n_last - 1)], -1)
+    pos_mm = pt_pos[jnp.clip(pid_mm, 0, p_cap - 1)]
+    obs1 = build_pose_obs_from_frame(kp, ur, pos_mm, matched, scale_factor)
+    tcw1, inlier1, n_in1 = pose_opt.pose_optimization(tcw_pred, obs1, cam)
+    mm_matches = matched.sum()
+    # outlier associations are dropped before the local-map stage
+    # (Tracking.cc:1100-1119)
+    pid1 = jnp.where(matched & inlier1, pid_mm, -1)
+
+    # --- local-map search + second pose opt ---------------------------
+    taken = jnp.zeros(p_cap + 1, bool).at[
+        jnp.where(pid1 >= 0, pid1, p_cap)].set(True)
+    sel = local_sel & ~taken[local_ids]
+    prior_mask = pid1 >= 0
+    info, res2 = search_local_points_gathered(
+        tcw1, local_ids, sel, pt_pos, pt_desc, pt_valid, pt_normal,
+        pt_min, pt_max, kp, prior_mask, radius_mult, cam,
+        scale_factor, n_levels)
+    newly = res2.assoc >= 0
+    c_cap = local_ids.shape[0]
+    pid2 = jnp.where(newly, local_ids[jnp.clip(res2.assoc, 0, c_cap - 1)],
+                     pid1)
+    used = pid2 >= 0
+    pos2 = pt_pos[jnp.clip(pid2, 0, p_cap - 1)]
+    obs2 = build_pose_obs_from_frame(kp, ur, pos2, used, scale_factor)
+    tcw2, inlier2, n_in2 = pose_opt.pose_optimization(tcw1, obs2, cam)
+    is_outlier = used & ~inlier2
+    pid_final = jnp.where(used & inlier2, pid2, -1)
+
+    # close-point stats for NeedNewKeyFrame (Tracking.cc:1229-1247)
+    close = (depth > 0) & (depth < th_depth) & kp.valid
+    tracked_close = (close & (pid_final >= 0)).sum()
+    non_tracked_close = (close & (pid_final < 0)).sum()
+    return FusedFrameOut(
+        kp=kp, ur=ur, depth=depth, tcw=tcw2, pt_ids=pid_final,
+        is_outlier=is_outlier, visible=info.visible,
+        mm_matches=mm_matches, mm_inliers=n_in1, n_inliers=n_in2,
+        tracked_close=tracked_close, non_tracked_close=non_tracked_close)
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_rgbd_program(extractor, cam, scale_factor, n_levels):
+    from orbslam2_tpu.frontend import frame as frame_mod
+
+    def run(gray, depth_img, tcw_pred, last_kp, last_pid, local_ids,
+            local_sel, radius_mult, th_depth,
+            pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
+        kp, ur, depth = frame_mod._rgbd_build(extractor, cam, gray, depth_img)
+        return _fused_track_core(
+            kp, ur, depth, tcw_pred, last_kp, last_pid, local_ids,
+            local_sel, radius_mult, th_depth, pt_pos, pt_desc, pt_valid,
+            pt_normal, pt_min, pt_max, cam, scale_factor, n_levels)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_stereo_program(extractor, cam, scale_factor, n_levels):
+    from orbslam2_tpu.frontend import frame as frame_mod
+
+    def run(gl, gr, tcw_pred, last_kp, last_pid, local_ids,
+            local_sel, radius_mult, th_depth,
+            pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
+        kp, ur, depth = frame_mod._stereo_build(extractor, cam, scale_factor,
+                                                gl, gr)
+        return _fused_track_core(
+            kp, ur, depth, tcw_pred, last_kp, last_pid, local_ids,
+            local_sel, radius_mult, th_depth, pt_pos, pt_desc, pt_valid,
+            pt_normal, pt_min, pt_max, cam, scale_factor, n_levels)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_mono_program(extractor, cam, scale_factor, n_levels):
+    from orbslam2_tpu.frontend import frame as frame_mod
+
+    def run(gray, tcw_pred, last_kp, last_pid, local_ids,
+            local_sel, radius_mult, th_depth,
+            pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
+        kp = frame_mod._mono_build(extractor, cam, gray)
+        neg = jnp.full((kp.n,), -1.0)
+        return _fused_track_core(
+            kp, neg, neg, tcw_pred, last_kp, last_pid, local_ids,
+            local_sel, radius_mult, th_depth, pt_pos, pt_desc, pt_valid,
+            pt_normal, pt_min, pt_max, cam, scale_factor, n_levels)
+
+    return jax.jit(run)
+
+
+def fused_frame_step(sensor_images, extractor, cam, scale_factor, n_levels,
+                     *args) -> FusedFrameOut:
+    """Dispatch the fused whole-frame program for the sensor's image tuple
+    (1 image = mono, 2 = RGB-D (gray, depth) or stereo (left, right) —
+    disambiguated by the extractor call signature the tracker chose).
+    Module-level seam so the benchmark's relay meter can wrap it."""
+    kind, imgs = sensor_images
+    prog = {"rgbd": _fused_rgbd_program, "stereo": _fused_stereo_program,
+            "mono": _fused_mono_program}[kind](
+        extractor, cam, scale_factor, n_levels)
+    return prog(*imgs, *args)
+
+
 def build_pose_obs_from_frame(
     frame_kp: Keypoints,
     frame_ur: jax.Array,

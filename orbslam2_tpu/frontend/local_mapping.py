@@ -19,11 +19,14 @@ each stage is the batched-array equivalent of the reference stage:
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_log = logging.getLogger("orbslam2_tpu")
 
 from orbslam2_tpu.backend import ba
 from orbslam2_tpu.frontend import kernels
@@ -33,13 +36,33 @@ from orbslam2_tpu.slammap import covisibility
 from orbslam2_tpu.slammap.mapstate import MapState
 
 
+def size_bucket(n: int, floor: int, growth: int = 4,
+                cap: int | None = None) -> int:
+    """Smallest padded capacity >= n from a geometric series: device
+    programs compile per shape, so problem sizes quantize to a handful of
+    buckets instead of one compile per keyframe. `cap` bounds the bucket
+    (e.g. at the map capacity)."""
+    b = floor
+    while b < n:
+        b *= growth
+    if cap is not None:
+        b = min(b, max(cap, floor))
+    return b
+
+
 @dataclasses.dataclass
 class LocalMapperConfig:
     scale_factor: float = 1.2
     n_levels: int = 8
-    ba_max_cams: int = 16
-    ba_max_points: int = 4096
-    ba_max_obs: int = 12288
+    # hard caps for the local-BA window — None (default) = unbounded: the
+    # full first covisibility ring and every observation enter the problem
+    # (Optimizer.cc:531-582 has no cap), padded to size buckets. An int
+    # truncates WITH a logged warning (memory-constrained deployments).
+    ba_max_cams: int | None = None
+    ba_max_points: int | None = None
+    ba_max_obs: int | None = None
+    # candidate cap for fuse staging (device program width)
+    fuse_max_points: int = 4096
     cull_found_ratio: float = 0.25   # MapPointCulling (LocalMapping.cc:212)
     cull_min_obs_age2: int = 3       # stereo/RGBD: >=3 obs within 2 KFs (cc:216)
     kf_cull_redundancy: float = 0.9  # KeyFrameCulling (cc:704)
@@ -69,6 +92,9 @@ class LocalMapper:
         # recent points under probation: pt_id -> kf order at creation
         self._recent: Dict[int, int] = {}
         self.interrupt_ba = False  # InterruptBA analogue (LocalMapping.cc:696)
+        # CheckNewKeyFrames probe, wired by the async orchestrator: True
+        # when more keyframes wait in the worker queue
+        self.pending_fn = None
         self.kfdb = None  # set by SLAMSystem when place recognition is on
         from orbslam2_tpu.utils.profiling import StageTimer
         self.stats = StageTimer(enabled=False)  # enabled with profile_stages
@@ -121,31 +147,51 @@ class LocalMapper:
         # reruns atomically. The local-BA solve below runs unlocked
         # unconditionally (pose/point refinement is not associative), as
         # in the reference (Optimizer.cc:598 vs LocalMapping.cc:515-599).
+        def _atomic(stage_fn):
+            # the conflicting mutation may have changed covisibility (or
+            # culled this keyframe / reset the map): re-derive the weight
+            # matrix inside the lock before re-staging
+            with self.map_lock:
+                if not m.kf_valid[kf]:
+                    return
+                stage_fn(kf, covisibility.weight_matrix(m), atomic=True)
+
+        def _pending() -> bool:
+            """More keyframes already queued (CheckNewKeyFrames,
+            LocalMapping.cc:74-93): the reference then skips fusion, local
+            BA and culling to drain the queue — the skipped work is covered
+            by the next keyframe's pass."""
+            if self.pending_fn is not None and self.pending_fn():
+                return True
+            return backlog
+
         with self.stats.stage("triangulate"):
             if backlog:
-                with self.map_lock:
-                    self._create_new_map_points(kf, w, atomic=True)
+                _atomic(self._create_new_map_points)
             elif self._create_new_map_points(kf, w) == "conflict":
+                _atomic(self._create_new_map_points)
+        if not _pending():
+            with self.stats.stage("fuse"):
+                if self._search_in_neighbors(kf, w) == "conflict":
+                    _atomic(self._search_in_neighbors)
                 with self.map_lock:
-                    self._create_new_map_points(kf, w, atomic=True)
-        with self.stats.stage("fuse"):
-            if backlog:
-                with self.map_lock:
-                    self._search_in_neighbors(kf, w, atomic=True)
-            elif self._search_in_neighbors(kf, w) == "conflict":
-                with self.map_lock:
-                    self._search_in_neighbors(kf, w, atomic=True)
-            with self.map_lock:
-                pts = np.unique(m.kf_pt[kf])
-                pts = pts[pts >= 0]
-                m.update_point_descriptor_and_normal(
-                    pts, self.cfg.scale_factor, self.cfg.n_levels)
-        with self.stats.stage("local_ba"):
-            with self.map_lock:
-                w = covisibility.weight_matrix(m)
-            self._local_ba(kf, w)
-        with self.stats.stage("kf_culling"), self.map_lock:
-            self._keyframe_culling(kf, covisibility.weight_matrix(m))
+                    pts = np.unique(m.kf_pt[kf])
+                    pts = pts[pts >= 0]
+                    m.update_point_descriptor_and_normal(
+                        pts, self.cfg.scale_factor, self.cfg.n_levels)
+        # InterruptBA (LocalMapping.cc:81-96, Tracking.cc:1283): a tracker
+        # wanting to insert — or a queued keyframe — aborts the local BA
+        # and culling; the window is re-optimized with the next keyframe
+        self.interrupt_ba = False
+        if not _pending():
+            with self.stats.stage("local_ba"):
+                if m.n_keyframes() > 2:
+                    with self.map_lock:
+                        w = covisibility.weight_matrix(m)
+                    self._local_ba(kf, w)
+            with self.stats.stage("kf_culling"), self.map_lock:
+                self._keyframe_culling(kf, covisibility.weight_matrix(m))
+        with self.map_lock:
             m.change_index += 1
 
     # ------------------------------------------------------------------
@@ -252,27 +298,38 @@ class LocalMapper:
         with self.map_lock:
             if not atomic and self._map_gens() != gens:
                 return "conflict"  # nothing applied; caller reruns atomically
-            new_pts = []
-            for r in np.where(res.idx1 >= 0)[0]:
-                nb = keep[int(res.nb_slot[r])]
-                i = int(res.idx1[r])
-                j = int(res.kp2_idx[r])
-                if m.kf_pt[kf, i] >= 0 or m.kf_pt[nb, j] >= 0:
-                    continue  # taken by an earlier pair this round
-                try:
-                    pid = m.add_point(res.points[r], m.kf_kp_desc[kf, i],
-                                      kf, int(m.kf_frame_id[kf]))
-                except RuntimeError:
-                    return  # capacity full; culling will free slots later
-                m.add_observation(kf, i, pid)
-                m.add_observation(nb, j, pid)
-                new_pts.append(pid)
-            if new_pts:
+            rows = np.where(res.idx1 >= 0)[0]
+            nb = np.array(keep, np.int64)[res.nb_slot[rows]]
+            i1 = res.idx1[rows].astype(np.int64)
+            j2 = res.kp2_idx[rows].astype(np.int64)
+            # drop pairs whose slots are taken, then first-wins dedup
+            # within the batch (matching the sequential loop's "taken by
+            # an earlier pair this round" semantics)
+            ok = (m.kf_pt[kf, i1] < 0) & (m.kf_pt[nb, j2] < 0)
+            rows, nb, i1, j2 = rows[ok], nb[ok], i1[ok], j2[ok]
+            _, first = np.unique(i1, return_index=True)
+            sel = np.zeros(len(i1), bool)
+            sel[first] = True
+            pair_key = nb * m.cap.n_features + j2
+            pair_key[~sel] = -1  # already dropped
+            _, first2 = np.unique(pair_key, return_index=True)
+            sel2 = np.zeros(len(i1), bool)
+            sel2[first2] = True
+            sel &= sel2
+            rows, nb, i1, j2 = rows[sel], nb[sel], i1[sel], j2[sel]
+            new_pts = m.add_points_batch(res.points[rows],
+                                         m.kf_kp_desc[kf, i1], kf,
+                                         int(m.kf_frame_id[kf]))
+            nb, i1, j2 = (a[: len(new_pts)] for a in (nb, i1, j2))
+            if len(new_pts):
+                m.kf_pt[kf, i1] = new_pts
+                m.kf_pt[nb, j2] = new_pts
+                m.touch_obs()
                 m.update_point_descriptor_and_normal(
-                    np.array(new_pts), cfg.scale_factor, cfg.n_levels)
+                    new_pts, cfg.scale_factor, cfg.n_levels)
                 order = int(m.kf_order[kf])
                 for pid in new_pts:
-                    self._recent[pid] = order
+                    self._recent[int(pid)] = order
 
     # ------------------------------------------------------------------
     # SearchInNeighbors / Fuse (LocalMapping.cc:515-599, ORBmatcher.cc:873-1038)
@@ -303,7 +360,7 @@ class LocalMapper:
             # semantics (LocalMapping.cc:541-562) at half the round trips
             cand = np.unique(np.concatenate([own_pts, neigh_pts])) \
                 if len(own_pts) + len(neigh_pts) else np.array([], np.int64)
-            cand = cand[: self.cfg.ba_max_points]
+            cand = cand[: self.cfg.fuse_max_points]
             if len(cand) == 0:
                 return None
             sel_rows = np.zeros((len(target_kfs) + 1, len(cand)), bool)
@@ -320,7 +377,7 @@ class LocalMapper:
         neighborhood fuse, LoopClosing.cc:651-675, uses this form)."""
         if len(pt_ids) == 0 or not targets:
             return
-        pt_ids = pt_ids[: self.cfg.ba_max_points]
+        pt_ids = pt_ids[: self.cfg.fuse_max_points]
         sel_rows = np.ones((len(targets), len(pt_ids)), bool)
         self._fuse_matrix(pt_ids, targets, sel_rows)
 
@@ -335,8 +392,14 @@ class LocalMapper:
         process_keyframe); returns "conflict" without applying if the map
         changed since staging."""
         m = self.map
-        cap = self.cfg.ba_max_points
+        cap = self.cfg.fuse_max_points
         n = len(cand)
+        # generation-validated applies are all-or-nothing per call: with
+        # more than one chunk, a later conflict would strand the earlier
+        # chunk's already-applied associations (violating the "nothing
+        # applied" contract the atomic rerun relies on)
+        assert gens is None or len(targets) <= self.FUSE_T_CAP, \
+            "optimistic fuse requires a single target chunk"
         with self.map_lock:
             mir = m.device_mirror()
             store = m.device_kf_store()
@@ -406,6 +469,7 @@ class LocalMapper:
     def _local_ba(self, kf: int, w: np.ndarray) -> None:
         with self.map_lock:
             staged = self._local_ba_stage(kf, w)
+            correction_gen = self.map.correction_gen
         if staged is None:
             return
         problem, pt_fixed, apply_ctx = staged
@@ -418,22 +482,37 @@ class LocalMapper:
         new_points = np.asarray(res.points)
         inlier = np.asarray(res.inlier)
         with self.map_lock:
+            # a loop correction / GBA apply moved the map while the solve
+            # was in flight: writing back would revert the local window to
+            # pre-correction geometry (the reference prevents this by
+            # stopping local mapping around the GBA apply,
+            # LoopClosing.cc:500-540, 828-833)
+            if self.map.correction_gen != correction_gen:
+                return
             self._local_ba_apply(apply_ctx, new_poses, new_points, inlier)
 
     def _local_ba_stage(self, kf: int, w: np.ndarray):
         m = self.map
         cfg = self.cfg
+        # the FULL first covisibility ring optimizes (Optimizer.cc:531-545,
+        # no cap); an explicit ba_max_cams truncates with a warning
         local = [kf, *[int(t) for t in covisibility.covisible_neighbors(w, kf)]]
-        local = local[: cfg.ba_max_cams - 1]
+        if cfg.ba_max_cams is not None and len(local) > cfg.ba_max_cams - 1:
+            _log.warning("local BA window truncated: %d -> %d cameras",
+                         len(local), cfg.ba_max_cams - 1)
+            local = local[: cfg.ba_max_cams - 1]
         local_set = set(local)
 
-        # points seen by local KFs
+        # points seen by local KFs (all of them, Optimizer.cc:547-561)
         pts = np.unique(m.kf_pt[np.array(local)])
         pts = pts[pts >= 0]
-        pts = pts[m.pt_valid[pts]][: cfg.ba_max_points]
+        pts = pts[m.pt_valid[pts]]
+        if cfg.ba_max_points is not None and len(pts) > cfg.ba_max_points:
+            _log.warning("local BA points truncated: %d -> %d",
+                         len(pts), cfg.ba_max_points)
+            pts = pts[: cfg.ba_max_points]
         if len(pts) < 20 or len(local) < 2:
             return None
-        pt_slot = {int(p): i for i, p in enumerate(pts)}
 
         # fixed cameras: other KFs observing these points (second ring) —
         # one CSR gather over the window's points (an all-pairs comparison
@@ -444,15 +523,21 @@ class LocalMapper:
         sees &= m.kf_valid
         fixed = [int(k) for k in np.where(sees)[0] if k not in local_set]
         n_free = len(local)
-        cams = [*local, *fixed][: cfg.ba_max_cams]
+        cams = [*local, *fixed]
+        if cfg.ba_max_cams is not None and len(cams) > cfg.ba_max_cams:
+            cams = cams[: cfg.ba_max_cams]
         cam_slot = {int(c): i for i, c in enumerate(cams)}
+        # padded capacities quantize to buckets: a handful of device
+        # compiles over the map's lifetime instead of one per keyframe
+        cam_cap = size_bucket(len(cams), 16, 2, m.cap.max_keyframes)
+        pt_cap = size_bucket(len(pts), 1024, 4, m.cap.max_points)
 
         # gauge: without out-of-window fixed observers, fix the two oldest
         # local KFs — one pins the SE3 gauge, the second pins monocular
         # scale (a single fixed camera leaves scale as a flat direction
         # that LM noise random-walks along; measured 2.6x drift / 35
         # frames before this anchor).
-        cam_fixed = np.zeros(cfg.ba_max_cams, bool)
+        cam_fixed = np.zeros(cam_cap, bool)
         cam_fixed[n_free:] = True
         if len(fixed) == 0:
             order = np.argsort([m.kf_order[c] for c in local])
@@ -460,34 +545,39 @@ class LocalMapper:
             if len(local) > 2:
                 cam_fixed[order[1]] = True
 
-        poses = np.tile(np.eye(4, dtype=np.float32), (cfg.ba_max_cams, 1, 1))
-        for c, i in cam_slot.items():
-            poses[i] = m.kf_pose[c]
-        points = np.zeros((cfg.ba_max_points, 3), np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (cam_cap, 1, 1))
+        cams_arr = np.array(cams, np.int32)
+        poses[: len(cams)] = m.kf_pose[cams_arr]
+        points = np.zeros((pt_cap, 3), np.float32)
         points[: len(pts)] = m.pt_pos[pts]
 
         # observations from all included cameras — vectorized gather via a
         # point-id -> BA-slot lookup table (the per-cam/per-slot Python
         # double loop was ~10^4 iterations per keyframe)
-        cams_arr = np.array(cams, np.int32)
         pt_lut = np.full(m.cap.max_points, -1, np.int32)
         pt_lut[pts] = np.arange(len(pts), dtype=np.int32)
         sub = m.kf_pt[cams_arr]                      # [C, N]
         pslot = np.where(sub >= 0, pt_lut[np.maximum(sub, 0)], -1)
         ci_idx, slot_idx = np.nonzero(pslot >= 0)
-        n_obs = min(len(ci_idx), cfg.ba_max_obs)
+        n_obs = len(ci_idx)
+        if cfg.ba_max_obs is not None and n_obs > cfg.ba_max_obs:
+            _log.warning("local BA observations truncated: %d -> %d",
+                         n_obs, cfg.ba_max_obs)
+            n_obs = cfg.ba_max_obs
         if n_obs < 30:
             return None
+        obs_cap = size_bucket(n_obs, 4096, 4,
+                              cfg.ba_max_obs if cfg.ba_max_obs else None)
         ci_idx, slot_idx = ci_idx[:n_obs], slot_idx[:n_obs]
         sel_kf = cams_arr[ci_idx]
         ur = m.kf_kp_ur[sel_kf, slot_idx]
         inv_sig_base = 1.0 / cfg.scale_factor ** 2
-        o_cam = np.zeros(cfg.ba_max_obs, np.int32)
-        o_pt = np.zeros(cfg.ba_max_obs, np.int32)
-        o_uv = np.zeros((cfg.ba_max_obs, 3), np.float32)
-        o_sig = np.ones(cfg.ba_max_obs, np.float32)
-        o_st = np.zeros(cfg.ba_max_obs, bool)
-        o_val = np.zeros(cfg.ba_max_obs, bool)
+        o_cam = np.zeros(obs_cap, np.int32)
+        o_pt = np.zeros(obs_cap, np.int32)
+        o_uv = np.zeros((obs_cap, 3), np.float32)
+        o_sig = np.ones(obs_cap, np.float32)
+        o_st = np.zeros(obs_cap, bool)
+        o_val = np.zeros(obs_cap, bool)
         o_cam[:n_obs] = ci_idx
         o_pt[:n_obs] = pslot[ci_idx, slot_idx]
         o_uv[:n_obs, :2] = m.kf_kp_xy[sel_kf, slot_idx]
@@ -507,7 +597,7 @@ class LocalMapper:
             obs_stereo=jnp.asarray(o_st),
             obs_valid=jnp.asarray(o_val),
         )
-        pt_fixed = np.zeros(cfg.ba_max_points, bool)
+        pt_fixed = np.zeros(pt_cap, bool)
         pt_fixed[len(pts):] = True
         apply_ctx = (cam_slot, cam_fixed, pts, sel_kf, slot_idx, n_obs)
         return problem, pt_fixed, apply_ctx

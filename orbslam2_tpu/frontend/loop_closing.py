@@ -49,7 +49,10 @@ class LoopCloserConfig:
     min_sim3_matches: int = 20        # cc:323-332
     min_sim3_inliers: int = 20        # cc:397-401
     min_total_matches: int = 40       # cc:464-474
-    gba_max_obs: int = 65536
+    # hard cap on GBA observations — None (default) = every valid
+    # observation enters the problem (Optimizer.cc:61-281 has no cap),
+    # padded to size buckets; an int truncates WITH a logged warning
+    gba_max_obs: int | None = None
     run_global_ba: bool = True
     # run the loop GBA in a background thread on a map snapshot, with
     # spanning-tree propagation of corrections to keyframes/points created
@@ -362,6 +365,7 @@ class LoopCloser:
         m.mark_all_pts_dirty()
         valid = m.kf_valid
         m.kf_pose[valid] = sim3_np.to_se3(new_sim3[valid])
+        m.correction_gen += 1  # invalidate in-flight unlocked solves
         m.change_index += 1
 
         # global BA (cc:717 RunGlobalBundleAdjustment): on a map snapshot,
@@ -408,15 +412,25 @@ class LoopCloser:
         pids = m.kf_pt[ks, slots]
         keep = m.kf_valid[ks] & m.pt_valid[pids]
         ks, slots, pids = ks[keep], slots[keep], pids[keep]
-        n_obs = min(len(ks), cfg.gba_max_obs)
+        n_obs = len(ks)
+        if cfg.gba_max_obs is not None and n_obs > cfg.gba_max_obs:
+            import logging
+            logging.getLogger("orbslam2_tpu").warning(
+                "GBA observations truncated: %d -> %d", n_obs,
+                cfg.gba_max_obs)
+            n_obs = cfg.gba_max_obs
+            ks, slots, pids = ks[:n_obs], slots[:n_obs], pids[:n_obs]
         if n_obs < 100:
             return None
-        o_cam = np.zeros(cfg.gba_max_obs, np.int32)
-        o_pt = np.zeros(cfg.gba_max_obs, np.int32)
-        o_uv = np.zeros((cfg.gba_max_obs, 3), np.float32)
-        o_sig = np.ones(cfg.gba_max_obs, np.float32)
-        o_st = np.zeros(cfg.gba_max_obs, bool)
-        o_val = np.zeros(cfg.gba_max_obs, bool)
+        from orbslam2_tpu.frontend.local_mapping import size_bucket
+        obs_cap = size_bucket(n_obs, 16384, 4,
+                              cfg.gba_max_obs if cfg.gba_max_obs else None)
+        o_cam = np.zeros(obs_cap, np.int32)
+        o_pt = np.zeros(obs_cap, np.int32)
+        o_uv = np.zeros((obs_cap, 3), np.float32)
+        o_sig = np.ones(obs_cap, np.float32)
+        o_st = np.zeros(obs_cap, bool)
+        o_val = np.zeros(obs_cap, bool)
         o_cam[:n_obs] = ks[:n_obs]
         o_pt[:n_obs] = pids[:n_obs]
         ur = m.kf_kp_ur[ks[:n_obs], slots[:n_obs]]
@@ -505,3 +519,4 @@ class LoopCloser:
         m.mark_all_pts_dirty()
         for k, pose in corrected.items():
             m.kf_pose[k] = pose
+        m.correction_gen += 1  # invalidate in-flight unlocked solves

@@ -22,15 +22,29 @@ import numpy as np
 
 
 class MappingWorker:
-    def __init__(self, local_mapper, loop_closer, map_lock: threading.RLock):
+    def __init__(self, local_mapper, loop_closer, map_lock: threading.RLock,
+                 sync_mapping: bool = False):
+        """`sync_mapping`: run local mapping inline on the inserting
+        (tracker) thread and keep only loop closing on the worker. Used for
+        monocular, where triangulation is the sole source of map points:
+        the reference never queues monocular keyframes behind a busy mapper
+        (Tracking.cc:1277-1297) because tracking accuracy depends on the
+        keyframe being mapped before the next frame; when frames arrive
+        faster than real time (offline drives) only inline processing
+        preserves that invariant."""
         self.local_mapper = local_mapper
         self.loop_closer = loop_closer
         self.map_lock = map_lock
+        self.sync_mapping = sync_mapping
         self.queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._idle = threading.Event()
         self._idle.set()
         self.loops_closed = 0
+        if local_mapper is not None:
+            local_mapper.pending_fn = \
+                (lambda: False) if sync_mapping else \
+                (lambda: not self.queue.empty())
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="mapping-worker")
         self._thread.start()
@@ -38,11 +52,23 @@ class MappingWorker:
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf: int, word_ids: Optional[np.ndarray]) -> None:
         """Tracking -> mapping handoff (LocalMapping::InsertKeyFrame)."""
+        mapped = False
+        if self.sync_mapping and self.local_mapper is not None:
+            self.local_mapper.process_keyframe(kf)
+            mapped = True
         self._idle.clear()
-        self.queue.put((kf, word_ids))
+        self.queue.put((kf, word_ids, mapped))
 
     def queue_size(self) -> int:
         return self.queue.qsize()
+
+    def idle(self) -> bool:
+        """bLocalMappingIdle (LocalMapping::AcceptKeyFrames true + queue
+        empty): local mapping is caught up. With sync_mapping, mapping runs
+        inline at insertion and is always caught up; the loop-closing
+        backlog does not gate keyframe insertion (the reference's
+        LoopClosing queue never does)."""
+        return self.sync_mapping or self._idle.is_set()
 
     def accept_keyframes(self) -> bool:
         """LocalMapping::AcceptKeyFrames analogue: don't pile up keyframes
@@ -67,7 +93,7 @@ class MappingWorker:
                 continue
             if item is None:
                 break
-            kf, word_ids = item
+            kf, word_ids, mapped = item
             try:
                 # the local mapper manages its own lock scope: host-state
                 # staging/apply under the shared map lock, device solves
@@ -76,7 +102,7 @@ class MappingWorker:
                 # holds mMutexMapUpdate only across write-backs). With a
                 # backlog (tracker outrunning mapping) the stages turn
                 # atomic, throttling the tracker until mapping catches up.
-                if self.local_mapper is not None:
+                if self.local_mapper is not None and not mapped:
                     self.local_mapper.process_keyframe(
                         kf, backlog=self.queue.qsize() > 0)
                 if self.loop_closer is not None and word_ids is not None:

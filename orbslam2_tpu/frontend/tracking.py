@@ -64,6 +64,10 @@ class SLAMConfig:
     # keep the point arrays device-resident (slammap/device_map) and gather
     # local-map rows on device; False = re-stage gathered rows per frame
     device_local_map: bool = True
+    # steady-state frames run ONE device program (build + motion-model +
+    # local-map + both pose optimizations) with ONE fetch
+    # (kernels.fused_frame_step); False = two-program path per frame
+    fused_frame: bool = True
 
 
 @dataclasses.dataclass
@@ -108,6 +112,13 @@ class Tracker:
         self.vocabulary = None
         self.kfdb = None
         self.loop_closer = None
+        # fused-frame state: local candidate selection computed from the
+        # PREVIOUS frame (one-frame lag removes the mid-frame host round
+        # trip) and the device-resident carry of last frame's associations
+        self._local_ids: Optional[np.ndarray] = None   # [cap] int32 padded
+        self._local_sel: Optional[np.ndarray] = None   # [cap] bool
+        self._local_pts: Optional[np.ndarray] = None   # [n_local] int64
+        self._last_pid_dev = None                      # device [N] int32
         # async orchestration (set by SLAMSystem when async_mapping is on)
         import threading
         self.map_lock = threading.RLock()
@@ -119,41 +130,59 @@ class Tracker:
     # public API
     # ------------------------------------------------------------------
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
-        with self.stats.stage("frame_build"):
-            fr = frame_mod.build_frame_rgbd(
-                self.frame_counter, timestamp, gray, depth, self.extractor, self.cam,
-                extract_fn=self._extract_jit)
-        self.frame_counter += 1
-        return self._track(fr)
+        return self._track_images("rgbd", (gray, depth), timestamp)
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float) -> Optional[np.ndarray]:
-        with self.stats.stage("frame_build"):
-            fr = frame_mod.build_frame_stereo(
-                self.frame_counter, timestamp, left, right, self.extractor, self.cam,
-                extract_fn=self._extract_jit, scale_factor=self.cfg.orb.scale_factor)
-        self.frame_counter += 1
-        return self._track(fr)
+        return self._track_images("stereo", (left, right), timestamp)
 
     def track_mono(self, gray: np.ndarray, timestamp: float) -> Optional[np.ndarray]:
         self.is_mono = True
+        return self._track_images("mono", (gray,), timestamp)
+
+    # ------------------------------------------------------------------
+    def _build_frame(self, kind: str, imgs, timestamp: float) -> frame_mod.Frame:
         with self.stats.stage("frame_build"):
-            fr = frame_mod.build_frame_mono(
-                self.frame_counter, timestamp, gray, self.extractor, self.cam,
-                extract_fn=self._extract_jit)
+            if kind == "rgbd":
+                fr = frame_mod.build_frame_rgbd(
+                    self.frame_counter, timestamp, imgs[0], imgs[1],
+                    self.extractor, self.cam, extract_fn=self._extract_jit)
+            elif kind == "stereo":
+                fr = frame_mod.build_frame_stereo(
+                    self.frame_counter, timestamp, imgs[0], imgs[1],
+                    self.extractor, self.cam, extract_fn=self._extract_jit,
+                    scale_factor=self.cfg.orb.scale_factor)
+            else:
+                fr = frame_mod.build_frame_mono(
+                    self.frame_counter, timestamp, imgs[0], self.extractor,
+                    self.cam, extract_fn=self._extract_jit)
         self.frame_counter += 1
-        return self._track(fr)
+        return fr
 
     # ------------------------------------------------------------------
     # main state machine (Tracking::Track, Tracking.cc:290-559)
     # ------------------------------------------------------------------
-    def _track(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
+    def _track_images(self, kind: str, imgs, timestamp: float
+                      ) -> Optional[np.ndarray]:
         # global map lock for the whole step, like the reference's
         # mMutexMapUpdate hold across Track() (Tracking.cc:299)
+        with self.map_lock:
+            if (self.cfg.fused_frame and self.state == TrackingState.OK
+                    and self.velocity is not None
+                    and not self.cfg.localization_only
+                    and self._local_ids is not None):
+                return self._track_fused(kind, imgs, timestamp)
+            fr = self._build_frame(kind, imgs, timestamp)
+            return self._track_locked(fr)
+
+    def _track(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
         with self.map_lock:
             return self._track_locked(fr)
 
     def _track_locked(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
+        # any classic-path frame invalidates the fused device carry (its
+        # associations live in fr.pt_ids on the host)
+        self._last_pid_dev = None
         if self.state in (TrackingState.NO_IMAGES_YET, TrackingState.NOT_INITIALIZED):
             self.state = TrackingState.NOT_INITIALIZED
             if self.is_mono:
@@ -190,6 +219,13 @@ class Tracker:
             # (mb_vo) the local map is skipped entirely
             ok = self._track_local_map(fr)
 
+        return self._finish_frame(fr, ok)
+
+    # ------------------------------------------------------------------
+    def _finish_frame(self, fr: frame_mod.Frame, ok: bool
+                      ) -> Optional[np.ndarray]:
+        """Shared frame epilogue: state/velocity update, keyframe decision,
+        loss handling, trajectory bookkeeping (Tracking.cc:462-559)."""
         if ok:
             self.state = TrackingState.OK
             if self.last_frame is not None:
@@ -197,9 +233,13 @@ class Tracker:
             if not self.cfg.localization_only and self._need_new_keyframe(fr):
                 with self.stats.stage("new_keyframe"):
                     self._create_new_keyframe(fr)
+            if self.cfg.fused_frame and not self.cfg.localization_only:
+                with self.stats.stage("local_select"):
+                    self._refresh_local_selection(fr)
         else:
             self.state = TrackingState.LOST
             self.velocity = None
+            self._last_pid_dev = None
             # auto-reset when lost right after initialization
             # (Tracking.cc:526-533: <= 5 keyframes in the map)
             if self.map.n_keyframes() <= 5 and not self.cfg.localization_only:
@@ -213,6 +253,88 @@ class Tracker:
         return fr.tcw.copy() if ok else None
 
     # ------------------------------------------------------------------
+    # fused whole-frame path: ONE device program + ONE fetch per frame
+    # ------------------------------------------------------------------
+    def _refresh_local_selection(self, fr: frame_mod.Frame) -> None:
+        """Select the local-map candidates for the NEXT frame from this
+        frame's associations (UpdateLocalKeyFrames/UpdateLocalPoints,
+        Tracking.cc:1490-1614, evaluated one frame early — covisibility
+        changes per keyframe event, not per frame)."""
+        w = self._covis_w if self._covis_w is not None \
+            else covisibility.weight_matrix(self.map)
+        local_kfs, ref_kf = covisibility.local_keyframes(self.map, fr.pt_ids, w)
+        if ref_kf >= 0:
+            self.ref_kf = ref_kf
+        pt_ids = covisibility.local_points(self.map, local_kfs)
+        cap = self.cfg.local_point_cap
+        pt_ids = pt_ids[:cap]
+        n = len(pt_ids)
+        ids = np.zeros(cap, np.int32)
+        ids[:n] = pt_ids
+        sel = np.zeros(cap, bool)
+        sel[:n] = True
+        self._local_ids, self._local_sel, self._local_pts = ids, sel, pt_ids
+
+    def _track_fused(self, kind: str, imgs, timestamp: float
+                     ) -> Optional[np.ndarray]:
+        with self.stats.stage("fused_step"):
+            self._update_last_frame()
+            last = self.last_frame
+            tcw_pred = (self.velocity @ last.tcw).astype(np.float32)
+            mir = self.map.device_mirror()
+            frame_id = self.frame_counter
+            radius_mult = 3.0 if frame_id - self.last_reloc_frame_id < 2 else 1.0
+            last_pid = self._last_pid_dev
+            if last_pid is None:
+                last_pid = last.pt_ids  # staged with the call (8 KB)
+            imgs_d = tuple(jnp.asarray(im, jnp.float32) for im in imgs)
+            out = kernels.fused_frame_step(
+                (kind, imgs_d), self.extractor, self.cam,
+                self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
+                tcw_pred, last.kp, last_pid, self._local_ids,
+                self._local_sel, np.float32(radius_mult),
+                np.float32(self.cfg.th_depth),
+                mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+                mir.pt_min_dist, mir.pt_max_dist)
+            (tcw_h, pid_h, outl_h, vis_h, mm_m, mm_in, n_in, depth_h, ur_h) \
+                = jax.device_get((out.tcw, out.pt_ids, out.is_outlier,
+                                  out.visible, out.mm_matches, out.mm_inliers,
+                                  out.n_inliers, out.depth, out.ur))
+        fr = frame_mod.Frame(
+            frame_id=frame_id, timestamp=timestamp, kp=out.kp, ur=out.ur,
+            depth=out.depth, tcw=tcw_pred.copy(),
+            pt_ids=np.full(out.kp.n, -1, np.int32),
+            is_outlier=np.zeros(out.kp.n, bool))
+        fr._host_depth = (depth_h, ur_h)
+        self.frame_counter += 1
+
+        if int(mm_m) < 20 or int(mm_in) < 10:
+            # motion-model failure: reference-KF fallback on the classic
+            # path (rare; costs the extra round trips only on these frames)
+            self._last_pid_dev = None
+            ok = self._track_reference_keyframe(fr)
+            if ok:
+                with self.stats.stage("local_map"):
+                    ok = self._track_local_map(fr)
+            return self._finish_frame(fr, ok)
+
+        fr.pt_ids = np.asarray(pid_h, np.int32).copy()
+        fr.is_outlier = np.asarray(outl_h).copy()
+        fr.tcw = np.asarray(tcw_h, np.float32)
+        self.matches_inliers = int(n_in)
+        self._map_inliers = int((fr.pt_ids >= 0).sum())
+        min_inliers = 30 if frame_id - self.last_reloc_frame_id > 30 else 50
+        ok = int(n_in) >= min_inliers
+        if ok:
+            lp = self._local_pts
+            self.map.increase_visible(lp[vis_h[: len(lp)]])
+            self.map.increase_found(fr.pt_ids[fr.pt_ids >= 0])
+            self._last_pid_dev = out.pt_ids  # device carry for next frame
+        else:
+            self._last_pid_dev = None
+        return self._finish_frame(fr, ok)
+
+    # ------------------------------------------------------------------
     # initialization (Tracking::StereoInitialization, Tracking.cc:562-614)
     # ------------------------------------------------------------------
     def _stereo_initialization(self, fr: frame_mod.Frame) -> bool:
@@ -224,21 +346,17 @@ class Tracker:
         fr.tcw = np.eye(4, dtype=np.float32)
         kf = self._insert_keyframe(fr)
         # create a map point for every keypoint with positive depth
-        xy = h.xy
-        desc = h.desc
-        has_d = valid & (depth > 0)
-        import jax.numpy as jnp_
-        pts_cam = np.asarray(self.cam.backproject(jnp_.asarray(xy), jnp_.asarray(depth)))
-        new_pts = []
-        for i in np.where(has_d)[0]:
-            if self.map.free_point_slots() == 0:
-                break
-            pid = self.map.add_point(pts_cam[i], desc[i], kf, fr.frame_id)
-            self.map.add_observation(kf, i, pid)
-            fr.pt_ids[i] = pid
-            new_pts.append(pid)
+        # (one batched insertion; frame 0 camera frame == world frame)
+        idx = np.where(valid & (depth > 0))[0]
+        pts_cam = self.cam.backproject_np(h.xy[idx], depth[idx])
+        new_pts = self.map.add_points_batch(pts_cam, h.desc[idx], kf,
+                                            fr.frame_id)
+        idx = idx[: len(new_pts)]
+        self.map.kf_pt[kf, idx] = new_pts
+        self.map.touch_obs()
+        fr.pt_ids[idx] = new_pts
         self.map.update_point_descriptor_and_normal(
-            np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+            new_pts, self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
         self.ref_kf = kf
         self.last_kf_frame_id = fr.frame_id
         self._covis_w = covisibility.weight_matrix(self.map)
@@ -306,23 +424,21 @@ class Tracker:
         fr.tcw = tcw2
         kf1 = self._insert_keyframe(ref)
         kf2 = self._insert_keyframe(fr)
-        new_pts = []
-        for i in np.where(good & sel)[0]:
-            if self.map.free_point_slots() == 0:
-                break
-            pid = self.map.add_point(pts[i], np.asarray(ref.kp.desc)[i], kf1,
-                                     int(ref.frame_id))
-            self.map.add_observation(kf1, i, pid)
-            self.map.add_observation(kf2, int(best_kp[i]), pid)
-            ref.pt_ids[i] = pid
-            fr.pt_ids[best_kp[i]] = pid
-            new_pts.append(pid)
+        idx = np.where(good & sel)[0]
+        new_pts = self.map.add_points_batch(
+            pts[idx], np.asarray(ref.kp.desc)[idx], kf1, int(ref.frame_id))
+        idx = idx[: len(new_pts)]
+        self.map.kf_pt[kf1, idx] = new_pts
+        self.map.kf_pt[kf2, best_kp[idx]] = new_pts
+        self.map.touch_obs()
+        ref.pt_ids[idx] = new_pts
+        fr.pt_ids[best_kp[idx]] = new_pts
         if len(new_pts) < 50:
             self.map.clear()
             self._init_ref = None
             return False
         self.map.update_point_descriptor_and_normal(
-            np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+            new_pts, self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
         self._covis_w = covisibility.weight_matrix(self.map)
         covisibility.assign_spanning_parent(self.map, self._covis_w, kf2)
 
@@ -363,12 +479,7 @@ class Tracker:
         order = cand[np.argsort(depth[cand])]
         close = order[(depth[order] < self.cfg.th_depth)]
         take = order[:max(len(close), min(100, len(order)))]
-        # full fixed-shape backproject (a `[take]`-shaped argument would
-        # trigger a fresh device compile per distinct count)
-        pc_all = np.asarray(self.cam.backproject(
-            jnp.asarray(h.xy), jnp.asarray(depth)))
-        xy = h.xy[take]
-        pc = pc_all[take]
+        pc = self.cam.backproject_np(h.xy[take], depth[take])
         twc = np.linalg.inv(last.tcw)
         pw = pc @ twc[:3, :3].T + twc[:3, 3]
         self._vo_mask = np.zeros(last.n, bool)
@@ -512,6 +623,8 @@ class Tracker:
         self._init_ref = None
         self._covis_w = None
         self.mb_vo = False
+        self._local_ids = self._local_sel = self._local_pts = None
+        self._last_pid_dev = None
 
     # ------------------------------------------------------------------
     def _word_ids(self, fr: frame_mod.Frame) -> Optional[np.ndarray]:
@@ -734,11 +847,14 @@ class Tracker:
         n_kfs = self.map.n_keyframes()
         if n_kfs >= self.cfg.max_keyframes - 2:
             return False
-        # async mode: don't outrun the mapping worker (the reference's
-        # bLocalMappingIdle gate, Tracking.cc:1223-1297)
-        if self.mapping_worker is not None and not self.mapping_worker.accept_keyframes():
-            return False
+        # bLocalMappingIdle (Tracking.cc:1222): the worker has drained its
+        # queue and finished processing; in sync mode mapping always runs
+        # inline before the next frame, so it is always "idle"
+        mapping_idle = self.mapping_worker is None or self.mapping_worker.idle()
         if self.cfg.force_kf_every is not None:
+            if self.mapping_worker is not None \
+                    and not self.mapping_worker.accept_keyframes():
+                return False
             return (fr.frame_id - self.last_kf_frame_id >= self.cfg.force_kf_every
                     and self.matches_inliers > 15)
         # reference tracked-point count in the reference keyframe
@@ -755,8 +871,11 @@ class Tracker:
         need_close = tracked_close < 100 and non_tracked_close > 70
 
         frames_since_kf = fr.frame_id - self.last_kf_frame_id
+        # conditions exactly as Tracking.cc:1249-1297
         c1a = frames_since_kf >= self.cfg.max_frames_between_kf
-        c1b = frames_since_kf >= self.cfg.min_frames_between_kf
+        c1b = frames_since_kf >= self.cfg.min_frames_between_kf and mapping_idle
+        c1c = (not self.is_mono) and (
+            self.matches_inliers < ref_tracked * 0.25 or need_close)
         # thRefRatio: 0.9 mono, 0.4 with <2 KFs, else 0.75 (Tracking.cc:1255-1266)
         if self.is_mono:
             th_ref = 0.9
@@ -764,7 +883,17 @@ class Tracker:
             th_ref = 0.75 if n_kfs >= 2 else 0.4
         c2 = (self.matches_inliers < ref_tracked * th_ref or need_close) \
             and self.matches_inliers > 15
-        return bool((c1a or (c1b and c2)) and c2) or (c1b and need_close and self.matches_inliers > 15)
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if mapping_idle:
+            return True
+        # mapping busy: signal BA abort; stereo/RGB-D may queue up to 3
+        # keyframes, monocular never queues (Tracking.cc:1277-1297)
+        if self.local_mapper is not None:
+            self.local_mapper.interrupt_ba = True
+        if self.is_mono:
+            return False
+        return self.mapping_worker.queue_size() < 3
 
     # ------------------------------------------------------------------
     # keyframe creation (Tracking::CreateNewKeyFrame, Tracking.cc:1306-1389)
@@ -785,28 +914,26 @@ class Tracker:
         if len(candidates):
             with self.stats.stage("kf_new_points"):
                 order = candidates[np.argsort(depth[candidates])]
-                xy = h.xy
-                desc = h.desc
-                # backproject the FULL fixed-shape arrays and index after:
-                # a `xy[order]` argument changes shape every keyframe, and
-                # each new shape is a fresh (multi-second, remote) compile
-                pts_cam_all = np.asarray(self.cam.backproject(
-                    jnp.asarray(xy), jnp.asarray(depth)))
-                pts_cam = pts_cam_all[order]
+                # spawn every close point, and far points only within the
+                # budget (the reference's depth-sorted break,
+                # Tracking.cc:1374-1386); depth-sorted order makes the
+                # break equivalent to this filter
+                take = order[(depth[order] <= self.cfg.th_depth)
+                             | (np.arange(len(order))
+                                < self.cfg.max_new_points_per_kf)]
+                pts_cam = self.cam.backproject_np(h.xy[take], depth[take])
                 twc = np.linalg.inv(fr.tcw)
                 pts_w = pts_cam @ twc[:3, :3].T + twc[:3, 3]
-                new_pts = []
-                for j, i in enumerate(order):
-                    if depth[i] > self.cfg.th_depth and j >= self.cfg.max_new_points_per_kf:
-                        break
-                    if self.map.free_point_slots() == 0:
-                        break  # capacity: culling frees slots later
-                    pid = self.map.add_point(pts_w[j], desc[i], kf, fr.frame_id)
-                    self.map.add_observation(kf, i, pid)
-                    fr.pt_ids[i] = pid
-                    new_pts.append(pid)
+                new_pts = self.map.add_points_batch(
+                    pts_w.astype(np.float32), h.desc[take], kf, fr.frame_id)
+                take = take[: len(new_pts)]
+                self.map.kf_pt[kf, take] = new_pts
+                self.map.touch_obs()
+                fr.pt_ids[take] = new_pts
+                # the device-side carry no longer matches fr.pt_ids
+                self._last_pid_dev = None
                 self.map.update_point_descriptor_and_normal(
-                    np.array(new_pts), self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
+                    new_pts, self.cfg.orb.scale_factor, self.cfg.orb.n_levels)
         with self.stats.stage("kf_covis"):
             self._covis_w = covisibility.weight_matrix(self.map)
             covisibility.assign_spanning_parent(self.map, self._covis_w, kf)

@@ -77,6 +77,15 @@ class PinholeCamera:
         y = (uv[..., 1] - self.cy) / self.fy * depth
         return jnp.stack([x, y, depth], axis=-1)
 
+    def backproject_np(self, uv, depth):
+        """Numpy twin of backproject for host bookkeeping paths (keyframe
+        creation, init): trivial math — a device dispatch here costs a
+        full relay round trip per keyframe for ~3 FLOPs/point."""
+        import numpy as _np
+        x = (uv[..., 0] - self.cx) / self.fx * depth
+        y = (uv[..., 1] - self.cy) / self.fy * depth
+        return _np.stack([x, y, depth], axis=-1).astype(_np.float32)
+
     def distort_normalized(self, xn: jax.Array) -> jax.Array:
         """Apply radial-tangential distortion to normalized coords [..., 2]."""
         x, y = xn[..., 0], xn[..., 1]

@@ -193,6 +193,15 @@ class SyntheticSequence:
                 yaw = 2.4 * np.pi * t
                 twc_t = np.array([0.2 * np.sin(yaw), 0.0, 0.2 * (1 - np.cos(yaw))])
                 rvec = np.array([0.0, yaw, 0.0])
+            elif kind == "circuit":
+                # tour a circle inside the room facing outward: rich
+                # translation (monocular-friendly) with a genuine
+                # KITTI-style revisit — goes ~15% past the full turn so
+                # several keyframes land in revisited territory
+                ang = 2.3 * np.pi * t
+                r_c = 1.2
+                twc_t = np.array([r_c * np.sin(ang), 0.0, r_c * np.cos(ang)])
+                rvec = np.array([0.0, ang, 0.0])
             elif kind == "shuttle":
                 # travel far right along the wall and come back: the view
                 # leaves the start region entirely (covisibility breaks),

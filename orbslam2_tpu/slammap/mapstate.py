@@ -109,6 +109,11 @@ class MapState:
         self.obs_gen = next(_DIRTY_GEN)
         self._obs_count_cache = None
         self._obs_index_cache = None
+        # bulk pose-correction generation: bumped by loop corrections and
+        # GBA applies (any event that rewrites keyframe poses map-wide);
+        # in-flight unlocked solves staged before the bump must discard
+        # their write-back (frontend/local_mapping._local_ba)
+        self.correction_gen = 0
         # keyframe-row dirtiness for the device keyframe store
         # (slammap/device_map.DeviceKFStore): keypoint arrays are immutable
         # per keyframe, so only inserts dirty rows
@@ -212,6 +217,39 @@ class MapState:
         self._pt_counter += 1
         self.mark_pts_dirty((p,))
         return p
+
+    def add_points_batch(
+        self,
+        pos: np.ndarray,          # [M, 3]
+        desc: np.ndarray,         # [M, DESC_WORDS]
+        ref_kf: int,
+        frame_id: int,
+    ) -> np.ndarray:
+        """Vectorized add_point for M new points (keyframe creation and
+        triangulation insert dozens-to-hundreds at once; the per-point
+        Python loop was ~70 ms per keyframe event at bench scale).
+        Allocates min(M, free) slots -> returns their ids [M'] (callers
+        must add observations + run update_point_descriptor_and_normal)."""
+        m = min(len(pos), len(self._pt_free))
+        if m == 0:
+            return np.zeros(0, np.int64)
+        pids = np.array([self._pt_free.pop() for _ in range(m)], np.int64)
+        self.pt_valid[pids] = True
+        self.pt_pos[pids] = pos[:m]
+        self.pt_desc[pids] = desc[:m]
+        self.pt_ref_kf[pids] = ref_kf
+        self.pt_first_kf[pids] = ref_kf
+        self.pt_normal[pids] = 0.0
+        self.pt_min_dist[pids] = 0.0
+        self.pt_max_dist[pids] = 0.0
+        self.pt_visible[pids] = 1
+        self.pt_found[pids] = 1
+        self.pt_first_frame[pids] = frame_id
+        self.pt_stamp[pids] = np.arange(self._pt_counter,
+                                        self._pt_counter + m)
+        self._pt_counter += m
+        self.mark_pts_dirty(pids)
+        return pids
 
     # ------------------------------------------------------------------
     # observations

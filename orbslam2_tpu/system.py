@@ -73,7 +73,8 @@ class SLAMSystem:
         if config.async_mapping:
             from orbslam2_tpu.frontend.orchestrator import MappingWorker
             self.mapping_worker = MappingWorker(
-                self.local_mapper, self.loop_closer, self.tracker.map_lock)
+                self.local_mapper, self.loop_closer, self.tracker.map_lock,
+                sync_mapping=(sensor == Sensor.MONOCULAR))
             self.tracker.mapping_worker = self.mapping_worker
 
     # ------------------------------------------------------------------

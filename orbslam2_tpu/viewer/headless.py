@@ -92,6 +92,110 @@ def draw_map_topdown(m, trajectory_twc: Optional[np.ndarray] = None,
     return img
 
 
+def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
+                cur_tcw: Optional[np.ndarray] = None, size: int = 640,
+                elev_deg: float = 35.0, azim_deg: float = -30.0) -> np.ndarray:
+    """Perspective 3D map view — the reference MapDrawer's GL scene
+    (/root/reference/src/MapDrawer.cc:93-256) rendered without a GL
+    context: keyframe FRUSTA (blue wire pyramids, DrawKeyFrames cc:158),
+    covisibility/spanning-tree edges (green) and loop edges (red,
+    DrawGraph cc:199-256), map points (black), trajectory (dark red), and
+    the current camera as a larger green frustum (DrawCurrentCamera
+    cc:93-150). A virtual pinhole orbits the map centroid at the given
+    elevation/azimuth."""
+    import cv2
+
+    from orbslam2_tpu.slammap.point_stats import camera_centers
+
+    img = np.full((size, size, 3), 255, np.uint8)
+    pts = m.pt_pos[m.pt_valid]
+    kf_ids = m.keyframe_ids()
+    centers = camera_centers(m.kf_pose)
+    groups = [pts] if len(pts) else []
+    if len(kf_ids):
+        groups.append(centers[kf_ids])
+    if trajectory_twc is not None and len(trajectory_twc):
+        groups.append(trajectory_twc[:, :3, 3])
+    if not groups:
+        return img
+    allp = np.concatenate(groups)
+    ctr = allp.mean(axis=0)
+    radius = max(float(np.linalg.norm(allp - ctr, axis=1).max()), 1e-3)
+
+    # virtual view pose: orbit the centroid (look-at construction)
+    el, az = np.deg2rad(elev_deg), np.deg2rad(azim_deg)
+    eye = ctr + 2.6 * radius * np.array(
+        [np.cos(el) * np.sin(az), -np.sin(el), -np.cos(el) * np.cos(az)])
+    fwd = ctr - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up0 = np.array([0.0, -1.0, 0.0])
+    right = np.cross(fwd, up0)
+    right /= max(np.linalg.norm(right), 1e-9)
+    down = np.cross(fwd, right)
+    r_vc = np.stack([right, down, fwd])         # world -> view rotation
+    t_vc = -r_vc @ eye
+    f = 0.9 * size
+
+    def project(p):
+        """[N, 3] world -> ([N, 2] px, [N] in-front mask)."""
+        pc = p @ r_vc.T + t_vc
+        z = np.maximum(pc[:, 2], 1e-6)
+        uv = np.stack([f * pc[:, 0] / z + size / 2,
+                       f * pc[:, 1] / z + size / 2], axis=1)
+        return uv, pc[:, 2] > 1e-3
+
+    def line(a_uv, b_uv, ok, color, th=1):
+        if ok:
+            cv2.line(img, (int(a_uv[0]), int(a_uv[1])),
+                     (int(b_uv[0]), int(b_uv[1])), color, th)
+
+    if len(pts):
+        uv, vis = project(pts)
+        for p in uv[vis].astype(int):
+            if 0 <= p[0] < size and 0 <= p[1] < size:
+                img[p[1], p[0]] = (60, 60, 60)
+
+    # frustum template in camera-local coords (MapDrawer.cc:100-129)
+    def frustum_lines(twc, w):
+        h, zf = 0.75 * w, 0.6 * w
+        loc = np.array([[0, 0, 0], [w, h, zf], [w, -h, zf],
+                        [-w, -h, zf], [-w, h, zf]])
+        world = loc @ twc[:3, :3].T + twc[:3, 3]
+        uv, vis = project(world)
+        segs = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 3), (3, 4), (4, 1)]
+        return [(uv[a], uv[b], bool(vis[a] & vis[b])) for a, b in segs]
+
+    w_frustum = 0.04 * radius
+    if len(kf_ids):
+        from orbslam2_tpu.slammap import covisibility
+        wmat = covisibility.weight_matrix(m)
+        c_uv, c_vis = project(centers)
+        for k in kf_ids:
+            # spanning tree + strong covisibility edges (DrawGraph)
+            par = m.kf_parent[k]
+            if par >= 0 and m.kf_valid[par]:
+                line(c_uv[k], c_uv[par], c_vis[k] & c_vis[par], (0, 180, 0))
+            for nb in np.where(wmat[k] >= covisibility.ESSENTIAL_THRESHOLD)[0]:
+                if nb > k and m.kf_valid[nb]:
+                    line(c_uv[k], c_uv[nb], c_vis[k] & c_vis[nb], (0, 180, 0))
+            for e in m.kf_loop_edges[k]:
+                if m.kf_valid[e]:
+                    line(c_uv[k], c_uv[e], c_vis[k] & c_vis[e], (0, 0, 255), 2)
+        twc_all = np.linalg.inv(m.kf_pose[kf_ids])
+        for twc in twc_all:
+            for a, b, ok in frustum_lines(twc, w_frustum):
+                line(a, b, ok, (200, 80, 0))
+    if trajectory_twc is not None and len(trajectory_twc) > 1:
+        t_uv, t_vis = project(trajectory_twc[:, :3, 3])
+        for i in range(len(t_uv) - 1):
+            line(t_uv[i], t_uv[i + 1], t_vis[i] & t_vis[i + 1], (0, 0, 200))
+    if cur_tcw is not None:
+        for a, b, ok in frustum_lines(np.linalg.inv(cur_tcw),
+                                      1.6 * w_frustum):
+            line(a, b, ok, (0, 200, 0), 2)
+    return img
+
+
 class HeadlessViewer:
     """Viewer::Run analogue for offline use: collect per-frame overlays and
     periodic map renders; write to a directory or video file."""

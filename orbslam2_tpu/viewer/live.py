@@ -37,10 +37,11 @@ class LiveViewer:
 
     def __init__(self, system, fps: float = 30.0, map_every: int = 10,
                  window: str = "orbslam2-tpu", out_dir: Optional[str] = None,
-                 use_gui: Optional[bool] = None):
+                 use_gui: Optional[bool] = None, map_3d: bool = True):
         self.system = system
         self.fps = fps
         self.map_every = map_every
+        self.map_3d = map_3d  # perspective frusta view vs top-down 2D
         self.window = window
         self.out_dir = out_dir or "."
         self._latest: Optional[np.ndarray] = None
@@ -109,7 +110,13 @@ class LiveViewer:
             if self.n_rendered % self.map_every == 0:
                 traj = tr.full_trajectory_twc(wait=False) \
                     if tr.trajectory else None
-                map_img = draw_map_topdown(self.system.map, traj)
+                if self.map_3d:
+                    from orbslam2_tpu.viewer.headless import draw_map_3d
+                    cur = tr.last_frame.tcw if tr.last_frame is not None \
+                        else None
+                    map_img = draw_map_3d(self.system.map, traj, cur_tcw=cur)
+                else:
+                    map_img = draw_map_topdown(self.system.map, traj)
         self.last_frame_img = img
         if map_img is not None:
             self.last_map_img = map_img

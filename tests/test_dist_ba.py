@@ -70,3 +70,36 @@ class TestDistributedBA:
         problem = pad_obs_to(problem, 2)
         res = dist_ba.distributed_bundle_adjust(problem, CAM, mesh, pcg_iters=40)
         assert pose_errors(res.poses, poses_true).max() < 0.02
+
+
+class TestMeshSweepTiming:
+    def test_mesh_sweep_trend_on_virtual_mesh(self, rng):
+        """Step-time curve across mesh sizes on the 8-virtual-device CPU
+        mesh (VERDICT r2 item 7): correctness must be mesh-invariant and a
+        timing point must exist per mesh size. Virtual CPU devices share
+        the same cores, so times measure overhead trends, not speedup —
+        asserted loosely, recorded for the artifact."""
+        import time
+
+        from __graft_entry__ import make_gba_problem
+        problem, cam = make_gba_problem(32, 2048, 8192, seed=4)
+        ref = None
+        times = {}
+        for size in (1, 2, 4, 8):
+            mesh = make_mesh(size)
+            run = lambda: dist_ba.distributed_bundle_adjust(
+                problem, cam, mesh, phase_iters=(2, 2), pcg_iters=8)
+            res = run()
+            np.asarray(res.poses)  # compile + settle
+            t0 = time.perf_counter()
+            res = run()
+            poses = np.asarray(res.poses)
+            times[size] = time.perf_counter() - t0
+            if ref is None:
+                ref = poses
+            else:
+                assert np.allclose(poses, ref, atol=1e-4), \
+                    f"mesh{size} diverged from mesh1"
+        assert all(t > 0 for t in times.values())
+        print("\nvirtual-mesh GBA sweep (s):",
+              {k: round(v, 3) for k, v in times.items()})

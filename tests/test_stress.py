@@ -302,3 +302,73 @@ class TestRobustness:
         lost, ate = self._run(world="lowtex")
         assert lost <= 5, lost
         assert ate < 0.12, ate
+
+
+class TestUncappedBA:
+    """The reference's bundle adjustments carry NO observation caps
+    (GlobalBundleAdjustemnt includes every observation, Optimizer.cc:61-281;
+    local BA takes the full first covisibility ring, Optimizer.cc:531-582).
+    The staged problems here must do the same at KITTI scale — silent
+    truncation changes the optimum with no warning."""
+
+    def _bare_closer(self, m):
+        import threading
+
+        from orbslam2_tpu.frontend.loop_closing import (LoopCloser,
+                                                        LoopCloserConfig)
+        from orbslam2_tpu.geometry.camera import PinholeCamera
+        lc = LoopCloser.__new__(LoopCloser)
+        lc.map = m
+        lc.cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                               width=320, height=240, bf=26.0)
+        lc.cfg = LoopCloserConfig()
+        lc.map_lock = threading.RLock()
+        lc.full_ba_idx = 0
+        lc.n_gba_applied = 0
+        lc.n_gba_superseded = 0
+        lc._gba_thread = None
+        return lc
+
+    def test_gba_snapshot_consumes_every_observation(self):
+        """1400 KF / 150k pts / 560k obs: the GBA snapshot must include
+        every valid observation (the round-2 snapshot silently clipped at
+        65,536 — 13% of this map)."""
+        m, n_kf, n_pt = TestKittiScaleMap._scale_map()
+        lc = self._bare_closer(m)
+        snap = lc._snapshot_gba(fixed_kf=0, idx=1)
+        total = n_kf * 400
+        assert total > 500_000  # the scale actually exercises the old cap
+        got = int(np.asarray(snap["problem"].obs_valid).sum())
+        assert got == total, f"GBA dropped observations: {got}/{total}"
+        # padded to a size bucket, not to an arbitrary hard cap
+        cap = snap["problem"].obs_cam.shape[0]
+        assert cap >= total
+
+    def test_local_ba_stages_full_first_ring(self):
+        """A keyframe with ~40 covisible neighbors: all of them (plus the
+        second-ring fixed observers) must enter the local BA problem — the
+        round-2 window clipped at 16 cameras."""
+        from orbslam2_tpu.frontend.local_mapping import LocalMapper
+        from orbslam2_tpu.geometry.camera import PinholeCamera
+        from orbslam2_tpu.slammap import covisibility
+
+        m, n_kf, _ = TestKittiScaleMap._scale_map(
+            n_kf=60, n_pt=3000, n_feat=512, obs_per_kf=400)
+        cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                            width=320, height=240, bf=26.0)
+        lm = LocalMapper(m, cam)
+        w = covisibility.weight_matrix(m)
+        ring = covisibility.covisible_neighbors(w, 30)
+        assert len(ring) > 20  # the scenario exceeds the old 16-cam cap
+        staged = lm._local_ba_stage(30, w)
+        assert staged is not None
+        problem, pt_fixed, ctx = staged
+        cam_slot, cam_fixed, pts, sel_kf, slot_idx, n_obs = ctx
+        n_free = int((~np.asarray(cam_fixed)[: len(cam_slot)]).sum())
+        assert n_free >= len(ring) + 1 - 2  # full ring free (minus gauge anchors)
+        assert len(cam_slot) >= len(ring) + 1
+        # every observation of the window's points from included cameras
+        cams_arr = np.array(sorted(cam_slot.keys()))
+        expect = int(((m.kf_pt[cams_arr] >= 0)
+                      & np.isin(m.kf_pt[cams_arr], pts)).sum())
+        assert n_obs == expect, f"local BA dropped obs: {n_obs}/{expect}"

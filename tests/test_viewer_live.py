@@ -42,3 +42,36 @@ def test_live_viewer_renders_during_tracking(tmp_path):
     assert viewer.last_map_img.shape == (640, 640, 3)
     # thread actually stopped
     assert not viewer._thread.is_alive()
+
+
+def test_draw_map_3d_frusta_and_edges():
+    """Perspective 3D map view (MapDrawer.cc:93-256 parity): keyframe
+    frusta, graph edges, trajectory and current camera must rasterize into
+    a non-trivial image, and loop edges must add red strokes."""
+    from tests.test_mapstate import make_map
+    from orbslam2_tpu.viewer.headless import draw_map_3d
+
+    m, kfs, pts = make_map(n_kf=6, n_pts=60)
+    rng = np.random.default_rng(0)
+    for i, k in enumerate(kfs):
+        m.kf_pose[k, :3, 3] = [0.4 * i, 0.0, 0.2 * (i % 2)]
+        m.kf_parent[k] = kfs[i - 1] if i else -1
+    for j, p in enumerate(pts):
+        m.pt_pos[p] = rng.normal(size=3) + [1.0, 0.0, 3.0]
+        m.kf_pt[kfs[j % len(kfs)], j % m.cap.n_features] = p
+    m.touch_obs()
+    traj = np.tile(np.eye(4, dtype=np.float32), (8, 1, 1))
+    traj[:, 0, 3] = np.linspace(0, 2.4, 8)
+    img = draw_map_3d(m, traj, cur_tcw=m.kf_pose[kfs[-1]])
+    assert img.shape == (640, 640, 3)
+    # something was drawn (non-white pixels), including blue frustum
+    # strokes and green graph/camera strokes
+    nonwhite = (img != 255).any(axis=2)
+    assert nonwhite.sum() > 500
+    blue = (img[:, :, 0] == 200) & (img[:, :, 1] == 80) & (img[:, :, 2] == 0)
+    assert blue.sum() > 50, "no keyframe frusta drawn"
+    m.kf_loop_edges[kfs[0]].add(kfs[-1])
+    m.kf_loop_edges[kfs[-1]].add(kfs[0])
+    img2 = draw_map_3d(m, traj)
+    red = (img2[:, :, 2] == 255) & (img2[:, :, 0] == 0)
+    assert red.sum() > 10, "loop edge not drawn"
