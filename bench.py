@@ -158,9 +158,14 @@ def bench_system(jax, jnp) -> dict:
     # are 20-200 s here and would land in frame times); the timed window
     # spans ~7 keyframe events so keyframe amortization is measured at
     # steady state
-    n_frames = 68
-    warm = 26
-    seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="lateral",
+    # "shuttle" leaves the initial view entirely and returns: the reference
+    # keyframe decision (close-point starvation) must actually fire, so the
+    # timed window carries real keyframe creation + mapping-worker load
+    # (a static-view sequence would measure pure tracking: NeedNewKeyFrame
+    # correctly never triggers when the first keyframe keeps tracking)
+    n_frames = 100
+    warm = 40
+    seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="shuttle",
                             seed=3, world="cluttered")
     # pre-stage frames: the input pipeline is an async DMA prefetch in
     # production; through the relay it would measure the tunnel (2.4 MB/frame
