@@ -1,0 +1,134 @@
+"""f32 robustness of the Schur/PCG stack against an f64 oracle.
+
+The reference solves its bundle adjustments in g2o's double precision; this
+framework runs f32 on TPU (SURVEY hard part (c)). These tests stress the
+conditioning cases where f32 could silently diverge — long thin
+trajectories and distant points — and bound the f32 solution against the
+SAME solver run in float64 (jax_enable_x64 recompiles the identical
+program in double precision: a true oracle, not a reimplementation).
+
+Finding (documented bound, SURVEY hard part (c)): on every stress geometry
+the f32 stack reaches a COST-IDENTICAL optimum (<0.1%% cost delta vs f64)
+with gt error within 1.2x of the oracle; parameter-space differences lie
+along near-flat drift directions of the anchored chain. No f64 island or
+compensated reduction is required at these scales.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_tpu.backend import ba
+from orbslam2_tpu.geometry.camera import PinholeCamera
+
+CAM = PinholeCamera(fx=520.0, fy=520.0, cx=320.0, cy=240.0,
+                    width=640, height=480, bf=40.0)
+
+
+def make_long_thin_problem(n_cams=256, n_pts=8192, n_obs=49152, seed=0,
+                           far=False, noise=0.5, perturb=0.01):
+    """Straight-line trajectory (KITTI-highway-like): the reduced camera
+    system's condition number grows with trajectory length; `far` pushes
+    points to 50-200 m where triangulation Jacobians are weakest."""
+    rng = np.random.default_rng(seed)
+    length = 100.0
+    poses = np.tile(np.eye(4, dtype=np.float64), (n_cams, 1, 1))
+    poses[:, 0, 3] = -np.linspace(0, length, n_cams)  # Tcw: camera at x=i
+    pts = np.zeros((n_pts, 3))
+    pts[:, 0] = rng.uniform(-5, length + 5, n_pts)
+    pts[:, 1] = rng.uniform(-3, 3, n_pts)
+    pts[:, 2] = rng.uniform(50.0, 200.0, n_pts) if far \
+        else rng.uniform(4.0, 40.0, n_pts)
+    # each camera sees points from a window ahead of it
+    obs_cam = rng.integers(0, n_cams, n_obs).astype(np.int32)
+    cam_x = length * obs_cam / n_cams
+    lo = np.searchsorted(np.sort(pts[:, 0]), cam_x - 5)
+    order = np.argsort(pts[:, 0])
+    span = max(n_pts // 10, 64)
+    obs_pt = order[(lo + rng.integers(0, span, n_obs)) % n_pts].astype(np.int32)
+    pc = pts[obs_pt] + poses[obs_cam][:, :3, 3]
+    z = np.maximum(pc[:, 2], 1.0)
+    stereo = rng.random(n_obs) < 0.5
+    u = CAM.fx * pc[:, 0] / z + CAM.cx
+    v = CAM.fy * pc[:, 1] / z + CAM.cy
+    ur = np.where(stereo, u - CAM.bf / z, -1.0)
+    uv = np.stack([u + rng.normal(0, noise, n_obs),
+                   v + rng.normal(0, noise, n_obs), ur], axis=1)
+    # perturb the initial estimate (the solver must pull it back)
+    poses_init = poses.copy()
+    poses_init[1:, 0, 3] += rng.normal(0, perturb, n_cams - 1)
+    poses_init[1:, 1, 3] += rng.normal(0, perturb, n_cams - 1)
+    pts_init = pts + rng.normal(0, perturb, (n_pts, 3))
+
+    def problem(dtype):
+        return ba.BAProblem(
+            poses=jnp.asarray(poses_init.astype(dtype)),
+            points=jnp.asarray(pts_init.astype(dtype)),
+            cam_fixed=jnp.asarray(np.arange(n_cams) == 0),
+            obs_cam=jnp.asarray(obs_cam),
+            obs_pt=jnp.asarray(obs_pt),
+            obs_uv=jnp.asarray(uv.astype(dtype)),
+            obs_inv_sigma2=jnp.ones((n_obs,), dtype),
+            obs_stereo=jnp.asarray(stereo),
+            obs_valid=jnp.ones((n_obs,), bool),
+        )
+    return problem, poses, pts
+
+
+def max_pose_err(res_poses, poses_true):
+    p = np.asarray(res_poses, np.float64)
+    return np.abs(p - poses_true).max()
+
+
+class TestF32VsF64Oracle:
+    @pytest.mark.parametrize("far", [False, True],
+                             ids=["near-points", "distant-points"])
+    def test_pcg_long_thin_trajectory(self, far):
+        """256-camera straight-line GBA: the f32 PCG solution must stay
+        within a small factor of the f64 oracle's accuracy (no silent
+        divergence), on both near and far (weakly-conditioned) points."""
+        problem, poses_true, _ = make_long_thin_problem(far=far)
+        res32 = ba.bundle_adjust_pcg(problem(np.float32), CAM,
+                                     phase_iters=(4, 6), pcg_iters=30)
+        e32 = max_pose_err(res32.poses, poses_true)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            res64 = ba.bundle_adjust_pcg(problem(np.float64), CAM,
+                                         phase_iters=(4, 6), pcg_iters=30)
+            e64 = max_pose_err(res64.poses, poses_true)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        # On a 100 m noisy chain anchored at one end, the TRUE optimum
+        # drifts from ground truth with distance (random-walk error
+        # accumulation), and ill-conditioning makes the cost surface
+        # near-flat along drift directions — f32 and f64 may land on
+        # different PARAMETERS along those flat directions. The meaningful
+        # precision criterion is COST parity (same optimum quality) plus a
+        # bounded gt-error ratio. Measured (and why no f64 island is
+        # needed): costs agree to <0.1% and e32 is within noise of e64 on
+        # every stress geometry, f32 occasionally beating the oracle.
+        c32, c64 = float(res32.cost), float(res64.cost)
+        assert abs(c32 - c64) <= 1e-3 * c64 + 1e-6, \
+            f"f32 cost diverged: {c32:.3f} vs f64 {c64:.3f}"
+        assert e32 <= 1.2 * e64 + 5e-3, \
+            f"f32 gt-error diverged: err32={e32:.5f} err64={e64:.5f}"
+        assert e64 < 1.0  # sanity: the chain did not explode
+
+    def test_dense_schur_local_window(self):
+        """Local-BA-shaped dense Schur at f32 vs f64 (64-camera window)."""
+        problem, poses_true, _ = make_long_thin_problem(
+            n_cams=64, n_pts=2048, n_obs=12288, seed=3)
+        res32 = ba.bundle_adjust(problem(np.float32), CAM)
+        e32 = max_pose_err(res32.poses, poses_true)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            res64 = ba.bundle_adjust(problem(np.float64), CAM)
+            e64 = max_pose_err(res64.poses, poses_true)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        c32, c64 = float(res32.cost), float(res64.cost)
+        assert abs(c32 - c64) <= 1e-3 * c64 + 1e-6, \
+            f"f32 cost diverged: {c32:.3f} vs f64 {c64:.3f}"
+        assert e32 <= 1.2 * e64 + 5e-3, \
+            f"f32 gt-error diverged: err32={e32:.5f} err64={e64:.5f}"
+        assert e64 < 1.0  # sanity: the chain did not explode
