@@ -269,6 +269,93 @@ def bench_system(jax, jnp) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# full-scale KITTI mode: real geometry + full capacities + loop closure
+# (ORBSLAM2_BENCH_KITTI=1; manual/round-report mode, not the driver line)
+# ---------------------------------------------------------------------------
+def bench_kitti_full(jax, jnp) -> dict:
+    """SLAMSystem.track_stereo at KITTI geometry (1241x376, KITTI-00
+    intrinsics) and FULL production capacities (1536 KF / 150k points),
+    vocabulary loaded, async mapping + loop closing live, on a circuit
+    drive that closes a loop. The VERDICT r2 item-4 'one true full-scale
+    end-to-end run' — CPU twin in tests/test_e2e_kitti_scale.py."""
+    from orbslam2_tpu.frontend.tracking import SLAMConfig
+    from orbslam2_tpu.geometry.camera import PinholeCamera
+    from orbslam2_tpu.io.evaluate import ate_rmse
+    from orbslam2_tpu.io.synthetic import SyntheticSequence
+    from orbslam2_tpu.ops.orb import ORBConfig
+    from orbslam2_tpu.place.pretrained import get_best_vocabulary
+    from orbslam2_tpu.system import SLAMSystem, Sensor
+
+    meter = RelayMeter()
+    meter.install()
+    rt, bw_up, bw_down = measure_relay(jax, jnp)
+    cam = PinholeCamera(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
+                        width=1241, height=376, bf=386.1448)
+    cfg = SLAMConfig(cam=cam, orb=ORBConfig(n_features=2000, n_levels=8),
+                     th_depth=386.1448 / 718.856 * 40.0,   # ThDepth=40
+                     max_keyframes=1536, max_points=150_000,
+                     local_point_cap=4096, max_frames_between_kf=10,
+                     min_init_features=400, async_mapping=True,
+                     profile_stages=True)
+    system = SLAMSystem(cfg, Sensor.STEREO, vocabulary=get_best_vocabulary())
+    system.loop_closer.cfg.consistency_threshold = 2
+    n_frames, warm = 200, 80
+    seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="circuit",
+                            seed=9, world="room")
+    staged = []
+    for i in range(n_frames):
+        gl, gr, _ = seq.render_stereo(i)
+        staged.append((jax.device_put(jnp.asarray(gl, jnp.float32)),
+                       jax.device_put(jnp.asarray(gr, jnp.float32))))
+    lost = 0
+    for i in range(warm):
+        system.track_stereo(staged[i][0], staged[i][1], i / seq.fps)
+    system.wait_mapping_idle()
+    meter.enabled = True
+    t0 = time.perf_counter()
+    for i in range(warm, n_frames):
+        if system.track_stereo(staged[i][0], staged[i][1], i / seq.fps) is None:
+            lost += 1
+    t_total = time.perf_counter() - t0
+    meter.enabled = False
+    system.wait_mapping_idle()
+    m = n_frames - warm
+    t_relay = (meter.n_fetch * rt + meter.bytes_down / bw_down
+               + meter.bytes_up / bw_up)
+    t_corr = max(t_total - t_relay, 1e-6)
+    import numpy as _np
+    est = system.tracker.full_trajectory_twc()
+    gt = _np.stack([_np.linalg.inv(seq.poses[i]) for i in range(n_frames)])
+    keep = ~system.tracker.trajectory_lost_mask()
+    ate = float(ate_rmse(est[keep], gt[keep]))
+    ws = system.local_mapper.stats.summary()
+    map_ms = sum(ws[k]["total_s"] for k in
+                 ("mp_culling", "triangulate", "fuse", "local_ba",
+                  "kf_culling") if k in ws)
+    n_kf_mapped = max((ws[k]["n"] for k in ("triangulate", "mp_culling")
+                       if k in ws), default=1)
+    loop_ms = ws.get("loop_closing", {}).get("p95_ms", 0.0) / 1e3
+    out = {
+        "metric": "kitti_full_scale",
+        "kitti_fps": round(m / t_corr, 2),
+        "kitti_fps_raw": round(m / t_total, 2),
+        "vs_kitti_rate": round(m / t_corr / 10.0, 2),  # KITTI runs at 10 fps
+        "tracked": f"{m - lost}/{m}",
+        "keyframes": system.map.n_keyframes(),
+        "points": system.map.n_points(),
+        "loops_closed": system.loop_closer.n_loops_closed,
+        "gba_applied": system.loop_closer.n_gba_applied,
+        "ate_m": round(ate, 4),
+        "mapping_ms_per_kf": round(map_ms / max(n_kf_mapped, 1) * 1e3, 1),
+        "loop_closing_max_ms": round(loop_ms * 1e3, 1),
+        "relay": {"rt_ms": round(rt * 1e3, 1),
+                  "fetches_per_frame": round(meter.n_fetch / m, 2)},
+    }
+    system.shutdown()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # mesh sweep: distributed GBA step time per mesh size (multi-chip only)
 # ---------------------------------------------------------------------------
 def bench_mesh_sweep(jax, jnp) -> dict:
@@ -444,6 +531,10 @@ def main() -> None:
     import jax.numpy as jnp
     if os.environ.get("ORBSLAM2_BENCH_CPU"):  # correctness smoke-testing
         jax.config.update("jax_platforms", "cpu")
+
+    if os.environ.get("ORBSLAM2_BENCH_KITTI"):
+        print(json.dumps(bench_kitti_full(jax, jnp)))
+        return
 
     only = os.environ.get("ORBSLAM2_BENCH_ONLY")
     fused_fps = 0.0 if only == "system" else bench_fused_step(jax, jnp)

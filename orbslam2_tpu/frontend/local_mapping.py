@@ -360,7 +360,12 @@ class LocalMapper:
             # semantics (LocalMapping.cc:541-562) at half the round trips
             cand = np.unique(np.concatenate([own_pts, neigh_pts])) \
                 if len(own_pts) + len(neigh_pts) else np.array([], np.int64)
-            cand = cand[: self.cfg.fuse_max_points]
+            if len(cand) > self.cfg.fuse_max_points:
+                # bounded by the one-chunk optimistic-apply contract
+                # (_fuse_matrix); the tail is re-fused with later keyframes
+                _log.warning("SearchInNeighbors candidates truncated: "
+                             "%d -> %d", len(cand), self.cfg.fuse_max_points)
+                cand = cand[: self.cfg.fuse_max_points]
             if len(cand) == 0:
                 return None
             sel_rows = np.zeros((len(target_kfs) + 1, len(cand)), bool)
@@ -374,12 +379,17 @@ class LocalMapper:
     def _fuse_points_into_targets(self, pt_ids: np.ndarray,
                                   targets: List[int]) -> None:
         """One shared candidate set fused into every target (loop-closing's
-        neighborhood fuse, LoopClosing.cc:651-675, uses this form)."""
+        neighborhood fuse, LoopClosing.cc:651-675, uses this form). Large
+        candidate sets are processed in fuse_max_points-sized chunks —
+        every point participates (the reference fuses the full
+        mvpLoopMapPoints set, no cap)."""
         if len(pt_ids) == 0 or not targets:
             return
-        pt_ids = pt_ids[: self.cfg.fuse_max_points]
-        sel_rows = np.ones((len(targets), len(pt_ids)), bool)
-        self._fuse_matrix(pt_ids, targets, sel_rows)
+        step = self.cfg.fuse_max_points
+        for s in range(0, len(pt_ids), step):
+            chunk = pt_ids[s:s + step]
+            sel_rows = np.ones((len(targets), len(chunk)), bool)
+            self._fuse_matrix(chunk, targets, sel_rows)
 
     def _fuse_matrix(self, cand: np.ndarray, targets: List[int],
                      sel_rows: np.ndarray, gens=None):

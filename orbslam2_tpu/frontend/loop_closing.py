@@ -173,12 +173,16 @@ class LoopCloser:
             if len(idx1) < cfg.min_sim3_matches:
                 continue
 
-            # camera-frame coordinates of each matched point pair
+            # camera-frame coordinates of each matched point pair — ALL of
+            # them (the reference's vpMapPointMatches carries every match,
+            # LoopClosing.cc:340; a fixed 256 cap silently changed RANSAC
+            # statistics at KITTI densities), padded to a size bucket
             t1 = m.kf_pose[kf]
             t2 = m.kf_pose[cand]
             p1c = m.pt_pos[pid1] @ t1[:3, :3].T + t1[:3, 3]
             p2c = m.pt_pos[pid2] @ t2[:3, :3].T + t2[:3, 3]
-            cap = 256
+            from orbslam2_tpu.frontend.local_mapping import size_bucket
+            cap = size_bucket(len(idx1), 256, 4, m.cap.n_features)
             n = min(len(idx1), cap)
             pad = cap - n
             p1c_p = np.pad(p1c[:n], ((0, pad), (0, 0))).astype(np.float32)
@@ -234,7 +238,10 @@ class LoopCloser:
         pts = pts[m.pt_valid[pts]]
         if len(pts) == 0:
             return 0
-        cap = 4096
+        # every neighborhood point is projected (LoopClosing.cc:439-452
+        # passes the full mvpLoopMapPoints); bucketed padding, no silent cap
+        from orbslam2_tpu.frontend.local_mapping import size_bucket
+        cap = size_bucket(len(pts), 4096, 4, m.cap.max_points)
         pts = pts[:cap]
         n = len(pts)
         pos = np.zeros((cap, 3), np.float32)

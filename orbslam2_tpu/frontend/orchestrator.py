@@ -106,7 +106,11 @@ class MappingWorker:
                     self.local_mapper.process_keyframe(
                         kf, backlog=self.queue.qsize() > 0)
                 if self.loop_closer is not None and word_ids is not None:
-                    with self.map_lock:
+                    stats = getattr(self.local_mapper, "stats", None)
+                    import contextlib
+                    stage = stats.stage("loop_closing") if stats is not None \
+                        else contextlib.nullcontext()
+                    with stage, self.map_lock:
                         if self.loop_closer.process_keyframe(kf, word_ids):
                             self.loops_closed += 1
             except Exception:  # pragma: no cover - worker must not die

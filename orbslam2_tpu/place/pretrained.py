@@ -31,16 +31,20 @@ def get_default_vocabulary(force_retrain: bool = False) -> voc_mod.Vocabulary:
 
 
 _CACHE_XL = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l5.npz")
+_CACHE_XXL = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l6.npz")
 
 
 def get_best_vocabulary() -> voc_mod.Vocabulary:
-    """Largest shipped vocabulary: XL (~100k words, k=10 depth-5 — the
-    reference-scale tier, mirroring how ORB-SLAM2 always loads the big
-    offline ORBvoc.txt at /root/reference/src/System.cc:68-80) falling back
-    to large (10k) then default (1k). Dataset drivers use this; unit tests
-    keep the small default for speed."""
-    if os.path.exists(_CACHE_XL):
-        return voc_mod.load_vocabulary(_CACHE_XL)
+    """Largest shipped vocabulary: XXL (k=10 depth-6, the reference
+    ORBvoc tree geometry, TemplatedVocabulary.h:1358 — trained by
+    tools/train_xxl_voc.py on a natural-image-statistics corpus),
+    falling back XL (~100k words) -> large (10k) -> default (1k).
+    Mirrors how ORB-SLAM2 always loads the big offline ORBvoc.txt
+    (/root/reference/src/System.cc:68-80). Dataset drivers use this;
+    unit tests keep the small default for speed."""
+    for path in (_CACHE_XXL, _CACHE_XL):
+        if os.path.exists(path):
+            return voc_mod.load_vocabulary(path)
     return get_large_vocabulary()
 
 

@@ -108,11 +108,19 @@ class Vocabulary:
 
 
 def train_vocabulary(descriptors_packed: np.ndarray, k: int = 10, levels: int = 3,
-                     seed: int = 0, iters: int = 8) -> Vocabulary:
+                     seed: int = 0, iters: int = 8,
+                     fit_cap: int | None = None,
+                     assign_chunk: int = 262144) -> Vocabulary:
     """Hierarchical binary k-medians on packed descriptors [N, 8] uint32.
 
     Equivalent role to DBoW2's create() (TemplatedVocabulary.h); medoid of a
     cluster = bitwise majority vote.
+
+    `fit_cap`: subsample each node's data to at most this many rows for the
+    k-medians ITERATIONS (assignment of the full data still uses the final
+    centers) — reference-scale trees (k=10 L=6, multi-million-descriptor
+    corpora) need this to keep the top-level clustering tractable.
+    `assign_chunk`: rows per chunk for the full-data assignment matmul.
     """
     rng = np.random.default_rng(seed)
     bits = np.asarray(unpack_bits(jnp.asarray(descriptors_packed))).astype(np.int8)
@@ -121,31 +129,44 @@ def train_vocabulary(descriptors_packed: np.ndarray, k: int = 10, levels: int = 
     centers_by_level = [np.zeros((k ** (l + 1), DESC_BITS), np.int8)
                         for l in range(levels)]
 
+    def assign_to(data: np.ndarray, cents: np.ndarray) -> np.ndarray:
+        """argmax +-1 dot (= min Hamming), chunked over rows."""
+        cf = (cents.T * 2 - 1).astype(np.float32)
+        if len(data) <= assign_chunk:
+            return ((data * 2 - 1).astype(np.float32) @ cf).argmax(axis=1)
+        out = np.empty(len(data), np.int64)
+        for s in range(0, len(data), assign_chunk):
+            blk = data[s:s + assign_chunk]
+            out[s:s + assign_chunk] = \
+                ((blk * 2 - 1).astype(np.float32) @ cf).argmax(axis=1)
+        return out
+
     def kmedians(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """-> (centroid bits [k, 256] in {0,1}, assignment [len(data)])."""
-        m = len(data)
+        fit = data
+        if fit_cap is not None and len(data) > fit_cap:
+            fit = data[rng.choice(len(data), fit_cap, replace=False)]
+        m = len(fit)
         n_c = min(k, m)
         idx = rng.choice(m, size=n_c, replace=False)
-        cents = data[idx].astype(np.int8)
-        assign = np.zeros(m, np.int64)
-        data_f = (data * 2 - 1).astype(np.float32)  # hoisted: reused per iter
+        cents = fit[idx].astype(np.int8)
+        fit_f = (fit * 2 - 1).astype(np.float32)  # hoisted: reused per iter
         for _ in range(iters):
             # hamming distance via +-1 dot
-            d = data_f @ (cents.T * 2 - 1).astype(np.float32)
+            d = fit_f @ (cents.T * 2 - 1).astype(np.float32)
             assign = d.argmax(axis=1)
             new = []
             for c in range(n_c):
-                members = data[assign == c]
+                members = fit[assign == c]
                 if len(members) == 0:
-                    members = data[rng.integers(0, m, 1)]
+                    members = fit[rng.integers(0, m, 1)]
                 new.append((members.mean(axis=0) >= 0.5).astype(np.int8))
             new = np.stack(new)
             if (new == cents).all():
                 cents = new
                 break
             cents = new
-        d = data_f @ (cents.T * 2 - 1).astype(np.float32)
-        return cents, d.argmax(axis=1)
+        return cents, assign_to(data, cents)
 
     # recursive split, filling flat level arrays
     def split(data: np.ndarray, level: int, slot: int):
