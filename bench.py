@@ -251,10 +251,16 @@ def bench_system(jax, jnp) -> dict:
     t_relay = (meter.n_fetch * rt + meter.bytes_down / bw_down
                + meter.bytes_up / bw_up)
     t_corr = max(t_total - t_relay, 1e-6)
+    fm = np.asarray(frame_ms)
     return {
         "system_fps": round(m / t_corr, 2),
         "system_fps_raw": round(m / t_total, 2),
         "system_ms_per_frame_raw": round(t_total / m * 1e3, 2),
+        # contention visibility: a mapping-worker device program landing
+        # between two tracked frames shows up as the p95/p50 gap
+        "frame_ms_p50": round(float(np.percentile(fm, 50)), 1),
+        "frame_ms_p95": round(float(np.percentile(fm, 95)), 1),
+        "frame_ms_max": round(float(fm.max()), 1),
         "tracked": f"{ok}/{m}",
         "keyframes": n_kf,
         "relay": {
@@ -299,9 +305,19 @@ def bench_kitti_full(jax, jnp) -> dict:
                      profile_stages=True)
     system = SLAMSystem(cfg, Sensor.STEREO, vocabulary=get_best_vocabulary())
     system.loop_closer.cfg.consistency_threshold = 2
-    n_frames, warm = 200, 80
-    seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="circuit",
+    # drive: TWO laps of the room circuit — the whole second lap revisits
+    # mapped territory, so loop closure gets several keyframes even with
+    # the thinned keyframe cadence the relay imposes (each mapping stage
+    # pays seconds-latency round trips here; a PCIe host's worker is ~10x
+    # faster and the idle gate passes far more keyframes — the CPU twin
+    # closes the loop on the single-lap circuit)
+    # 420 frames keeps the two-lap per-frame motion at the single-lap
+    # rate (~0.03 rad/frame — faster broke motion-model tracking at the
+    # KITTI focal length)
+    n_frames, warm = 420, 80
+    seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="circuit2",
                             seed=9, world="room")
+    frame_ids = list(range(n_frames))
     staged = []
     for i in range(n_frames):
         gl, gr, _ = seq.render_stereo(i)
@@ -314,7 +330,8 @@ def bench_kitti_full(jax, jnp) -> dict:
     meter.enabled = True
     t0 = time.perf_counter()
     for i in range(warm, n_frames):
-        if system.track_stereo(staged[i][0], staged[i][1], i / seq.fps) is None:
+        if system.track_stereo(staged[i][0], staged[i][1],
+                               i / seq.fps) is None:
             lost += 1
     t_total = time.perf_counter() - t0
     meter.enabled = False
@@ -325,7 +342,7 @@ def bench_kitti_full(jax, jnp) -> dict:
     t_corr = max(t_total - t_relay, 1e-6)
     import numpy as _np
     est = system.tracker.full_trajectory_twc()
-    gt = _np.stack([_np.linalg.inv(seq.poses[i]) for i in range(n_frames)])
+    gt = _np.stack([_np.linalg.inv(seq.poses[i]) for i in frame_ids])
     keep = ~system.tracker.trajectory_lost_mask()
     ate = float(ate_rmse(est[keep], gt[keep]))
     ws = system.local_mapper.stats.summary()

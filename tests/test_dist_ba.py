@@ -103,3 +103,13 @@ class TestMeshSweepTiming:
         assert all(t > 0 for t in times.values())
         print("\nvirtual-mesh GBA sweep (s):",
               {k: round(v, 3) for k, v in times.items()})
+
+
+def teardown_module(module):
+    # the 8-device / full-capacity compiles in this module are the suite's
+    # largest; dropping the executable cache keeps the whole-suite memory
+    # footprint from tripping XLA-CPU segfaults in later big compiles
+    import gc
+    import jax
+    jax.clear_caches()
+    gc.collect()

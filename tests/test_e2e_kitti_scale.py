@@ -111,3 +111,13 @@ def _run(n_compiles):
     kf_ms = [dt * 1e3 for _, dt in kf_events[2:]]
     assert np.median(kf_ms) < 4000, f"median KF-event frame {kf_ms} ms"
     system.shutdown()
+
+
+def teardown_module(module):
+    # the 8-device / full-capacity compiles in this module are the suite's
+    # largest; dropping the executable cache keeps the whole-suite memory
+    # footprint from tripping XLA-CPU segfaults in later big compiles
+    import gc
+    import jax
+    jax.clear_caches()
+    gc.collect()

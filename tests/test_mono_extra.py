@@ -156,3 +156,13 @@ class TestMonoRobustness:
         lost, ate = self._run(occluder=True)
         assert lost <= 4, lost
         assert ate < 0.12, ate
+
+
+def teardown_module(module):
+    # the 8-device / full-capacity compiles in this module are the suite's
+    # largest; dropping the executable cache keeps the whole-suite memory
+    # footprint from tripping XLA-CPU segfaults in later big compiles
+    import gc
+    import jax
+    jax.clear_caches()
+    gc.collect()

@@ -132,3 +132,13 @@ class TestF32VsF64Oracle:
         assert e32 <= 1.2 * e64 + 5e-3, \
             f"f32 gt-error diverged: err32={e32:.5f} err64={e64:.5f}"
         assert e64 < 1.0  # sanity: the chain did not explode
+
+
+def teardown_module(module):
+    # the 8-device / full-capacity compiles in this module are the suite's
+    # largest; dropping the executable cache keeps the whole-suite memory
+    # footprint from tripping XLA-CPU segfaults in later big compiles
+    import gc
+    import jax
+    jax.clear_caches()
+    gc.collect()
