@@ -351,7 +351,9 @@ def bench_kitti_full(jax, jnp) -> dict:
                   "kf_culling") if k in ws)
     n_kf_mapped = max((ws[k]["n"] for k in ("triangulate", "mp_culling")
                        if k in ws), default=1)
-    loop_ms = ws.get("loop_closing", {}).get("p95_ms", 0.0) / 1e3
+    # p95 of the worker's loop-closing stage (includes map-lock wait);
+    # StageTimer keeps no max
+    loop_ms = ws.get("loop_closing", {}).get("p95_ms", 0.0)
     out = {
         "metric": "kitti_full_scale",
         "kitti_fps": round(m / t_corr, 2),
@@ -364,7 +366,7 @@ def bench_kitti_full(jax, jnp) -> dict:
         "gba_applied": system.loop_closer.n_gba_applied,
         "ate_m": round(ate, 4),
         "mapping_ms_per_kf": round(map_ms / max(n_kf_mapped, 1) * 1e3, 1),
-        "loop_closing_max_ms": round(loop_ms * 1e3, 1),
+        "loop_closing_p95_ms": round(loop_ms, 1),
         "relay": {"rt_ms": round(rt * 1e3, 1),
                   "fetches_per_frame": round(meter.n_fetch / m, 2)},
     }

@@ -375,12 +375,10 @@ class FusedFrameOut(NamedTuple):
     mm_matches: jax.Array  # [] motion-model matches (widened if needed)
     mm_inliers: jax.Array  # [] motion-model pose inliers
     n_inliers: jax.Array   # [] final (local-map) pose inliers
-    tracked_close: jax.Array      # [] close points tracked (KF decision)
-    non_tracked_close: jax.Array  # [] close points unmatched
 
 
 def _fused_track_core(kp, ur, depth, tcw_pred, last_kp, last_pid,
-                      local_ids, local_sel, radius_mult, th_depth,
+                      local_ids, local_sel, radius_mult,
                       pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max,
                       cam, scale_factor, n_levels):
     """Motion-model search + pose opt + local-map search + second pose opt
@@ -443,16 +441,13 @@ def _fused_track_core(kp, ur, depth, tcw_pred, last_kp, last_pid,
     tcw2, inlier2, n_in2 = pose_opt.pose_optimization(tcw1, obs2, cam)
     is_outlier = used & ~inlier2
     pid_final = jnp.where(used & inlier2, pid2, -1)
-
-    # close-point stats for NeedNewKeyFrame (Tracking.cc:1229-1247)
-    close = (depth > 0) & (depth < th_depth) & kp.valid
-    tracked_close = (close & (pid_final >= 0)).sum()
-    non_tracked_close = (close & (pid_final < 0)).sum()
+    # NeedNewKeyFrame's close-point stats are derived on the HOST from the
+    # fetched depth/ur + pt_ids (Tracking.cc:1229-1247 semantics) — no
+    # extra device outputs needed
     return FusedFrameOut(
         kp=kp, ur=ur, depth=depth, tcw=tcw2, pt_ids=pid_final,
         is_outlier=is_outlier, visible=info.visible,
-        mm_matches=mm_matches, mm_inliers=n_in1, n_inliers=n_in2,
-        tracked_close=tracked_close, non_tracked_close=non_tracked_close)
+        mm_matches=mm_matches, mm_inliers=n_in1, n_inliers=n_in2)
 
 
 @functools.lru_cache(maxsize=8)
@@ -460,12 +455,12 @@ def _fused_rgbd_program(extractor, cam, scale_factor, n_levels):
     from orbslam2_tpu.frontend import frame as frame_mod
 
     def run(gray, depth_img, tcw_pred, last_kp, last_pid, local_ids,
-            local_sel, radius_mult, th_depth,
+            local_sel, radius_mult,
             pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
         kp, ur, depth = frame_mod._rgbd_build(extractor, cam, gray, depth_img)
         return _fused_track_core(
             kp, ur, depth, tcw_pred, last_kp, last_pid, local_ids,
-            local_sel, radius_mult, th_depth, pt_pos, pt_desc, pt_valid,
+            local_sel, radius_mult, pt_pos, pt_desc, pt_valid,
             pt_normal, pt_min, pt_max, cam, scale_factor, n_levels)
 
     return jax.jit(run)
@@ -476,13 +471,13 @@ def _fused_stereo_program(extractor, cam, scale_factor, n_levels):
     from orbslam2_tpu.frontend import frame as frame_mod
 
     def run(gl, gr, tcw_pred, last_kp, last_pid, local_ids,
-            local_sel, radius_mult, th_depth,
+            local_sel, radius_mult,
             pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
         kp, ur, depth = frame_mod._stereo_build(extractor, cam, scale_factor,
                                                 gl, gr)
         return _fused_track_core(
             kp, ur, depth, tcw_pred, last_kp, last_pid, local_ids,
-            local_sel, radius_mult, th_depth, pt_pos, pt_desc, pt_valid,
+            local_sel, radius_mult, pt_pos, pt_desc, pt_valid,
             pt_normal, pt_min, pt_max, cam, scale_factor, n_levels)
 
     return jax.jit(run)
@@ -493,13 +488,13 @@ def _fused_mono_program(extractor, cam, scale_factor, n_levels):
     from orbslam2_tpu.frontend import frame as frame_mod
 
     def run(gray, tcw_pred, last_kp, last_pid, local_ids,
-            local_sel, radius_mult, th_depth,
+            local_sel, radius_mult,
             pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
         kp = frame_mod._mono_build(extractor, cam, gray)
         neg = jnp.full((kp.n,), -1.0)
         return _fused_track_core(
             kp, neg, neg, tcw_pred, last_kp, last_pid, local_ids,
-            local_sel, radius_mult, th_depth, pt_pos, pt_desc, pt_valid,
+            local_sel, radius_mult, pt_pos, pt_desc, pt_valid,
             pt_normal, pt_min, pt_max, cam, scale_factor, n_levels)
 
     return jax.jit(run)

@@ -180,10 +180,14 @@ class LocalMapper:
                     m.update_point_descriptor_and_normal(
                         pts, self.cfg.scale_factor, self.cfg.n_levels)
         # InterruptBA (LocalMapping.cc:81-96, Tracking.cc:1283): a tracker
-        # wanting to insert — or a queued keyframe — aborts the local BA
-        # and culling; the window is re-optimized with the next keyframe
+        # that wanted to insert while the earlier stages ran — or a queued
+        # keyframe — skips the local BA and culling; the window is
+        # re-optimized with the next keyframe. (The one-program device
+        # solve cannot be aborted mid-flight like g2o's pbStopFlag, so the
+        # flag is honored at the stage boundary instead.)
+        aborted = self.interrupt_ba
         self.interrupt_ba = False
-        if not _pending():
+        if not aborted and not _pending():
             with self.stats.stage("local_ba"):
                 if m.n_keyframes() > 2:
                     with self.map_lock:

@@ -40,6 +40,11 @@ class MappingWorker:
         self._stop = threading.Event()
         self._idle = threading.Event()
         self._idle.set()
+        # serializes idle-flag transitions against enqueues: without it the
+        # worker's empty-poll could mark idle in the instant between the
+        # tracker's _idle.clear() and queue.put(), making wait_idle()/c1b
+        # report idle with an unprocessed keyframe queued
+        self._idle_lock = threading.Lock()
         self.loops_closed = 0
         if local_mapper is not None:
             local_mapper.pending_fn = \
@@ -56,8 +61,9 @@ class MappingWorker:
         if self.sync_mapping and self.local_mapper is not None:
             self.local_mapper.process_keyframe(kf)
             mapped = True
-        self._idle.clear()
-        self.queue.put((kf, word_ids, mapped))
+        with self._idle_lock:
+            self._idle.clear()
+            self.queue.put((kf, word_ids, mapped))
 
     def queue_size(self) -> int:
         return self.queue.qsize()
@@ -89,7 +95,9 @@ class MappingWorker:
             try:
                 item = self.queue.get(timeout=0.5)
             except queue.Empty:
-                self._idle.set()
+                with self._idle_lock:
+                    if self.queue.empty():
+                        self._idle.set()
                 continue
             if item is None:
                 break
@@ -116,5 +124,6 @@ class MappingWorker:
             except Exception:  # pragma: no cover - worker must not die
                 import traceback
                 traceback.print_exc()
-            if self.queue.empty():
-                self._idle.set()
+            with self._idle_lock:
+                if self.queue.empty():
+                    self._idle.set()

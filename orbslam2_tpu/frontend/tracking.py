@@ -118,6 +118,8 @@ class Tracker:
         self._local_ids: Optional[np.ndarray] = None   # [cap] int32 padded
         self._local_sel: Optional[np.ndarray] = None   # [cap] bool
         self._local_pts: Optional[np.ndarray] = None   # [n_local] int64
+        self._selection_fresh = False  # set when a classic-path frame just
+        # computed the selection (skip the end-of-frame recompute)
         self._last_pid_dev = None                      # device [N] int32
         # async orchestration (set by SLAMSystem when async_mapping is on)
         import threading
@@ -234,8 +236,11 @@ class Tracker:
                 with self.stats.stage("new_keyframe"):
                     self._create_new_keyframe(fr)
             if self.cfg.fused_frame and not self.cfg.localization_only:
-                with self.stats.stage("local_select"):
-                    self._refresh_local_selection(fr)
+                if self._selection_fresh:
+                    self._selection_fresh = False
+                else:
+                    with self.stats.stage("local_select"):
+                        self._refresh_local_selection(fr)
         else:
             self.state = TrackingState.LOST
             self.velocity = None
@@ -293,7 +298,6 @@ class Tracker:
                 self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
                 tcw_pred, last.kp, last_pid, self._local_ids,
                 self._local_sel, np.float32(radius_mult),
-                np.float32(self.cfg.th_depth),
                 mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
                 mir.pt_min_dist, mir.pt_max_dist)
             (tcw_h, pid_h, outl_h, vis_h, mm_m, mm_in, n_in, depth_h, ur_h) \
@@ -624,6 +628,7 @@ class Tracker:
         self._covis_w = None
         self.mb_vo = False
         self._local_ids = self._local_sel = self._local_pts = None
+        self._selection_fresh = False
         self._last_pid_dev = None
 
     # ------------------------------------------------------------------
@@ -708,6 +713,16 @@ class Tracker:
         if len(pt_ids) > cap:
             pt_ids = pt_ids[:cap]
         n_local = len(pt_ids)
+        # this IS the selection the next frame's fused step needs — store
+        # it so _finish_frame skips an identical recompute (one-frame lag
+        # either way); invalidated if this frame creates a keyframe
+        sel_ids = np.zeros(cap, np.int32)
+        sel_ids[:n_local] = pt_ids
+        sel_all = np.zeros(cap, bool)
+        sel_all[:n_local] = True
+        self._local_ids, self._local_sel, self._local_pts = \
+            sel_ids, sel_all, pt_ids
+        self._selection_fresh = True
         # don't re-match points already associated by motion-model tracking
         already = np.isin(pt_ids, fr.pt_ids[fr.pt_ids >= 0])
         kp_taken = fr.pt_ids >= 0
@@ -903,6 +918,9 @@ class Tracker:
             kf = self._insert_keyframe(fr)
         self.ref_kf = kf
         self.last_kf_frame_id = fr.frame_id
+        # a keyframe changes the map (spawned points, covisibility): any
+        # selection computed earlier this frame is stale
+        self._selection_fresh = False
         # existing associations become observations (one scatter)
         obs_sel = (fr.pt_ids >= 0) & self.map.pt_valid[np.maximum(fr.pt_ids, 0)]
         self.map.kf_pt[kf, obs_sel] = fr.pt_ids[obs_sel]

@@ -94,7 +94,8 @@ def draw_map_topdown(m, trajectory_twc: Optional[np.ndarray] = None,
 
 def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
                 cur_tcw: Optional[np.ndarray] = None, size: int = 640,
-                elev_deg: float = 35.0, azim_deg: float = -30.0) -> np.ndarray:
+                elev_deg: float = 35.0, azim_deg: float = -30.0,
+                covis_w: Optional[np.ndarray] = None) -> np.ndarray:
     """Perspective 3D map view — the reference MapDrawer's GL scene
     (/root/reference/src/MapDrawer.cc:93-256) rendered without a GL
     context: keyframe FRUSTA (blue wire pyramids, DrawKeyFrames cc:158),
@@ -151,9 +152,12 @@ def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
 
     if len(pts):
         uv, vis = project(pts)
-        for p in uv[vis].astype(int):
-            if 0 <= p[0] < size and 0 <= p[1] < size:
-                img[p[1], p[0]] = (60, 60, 60)
+        # vectorized scatter: the viewer renders under the tracker's map
+        # lock — a Python loop over 150k points would stall tracking
+        p = uv[vis].astype(int)
+        inb = ((p[:, 0] >= 0) & (p[:, 0] < size)
+               & (p[:, 1] >= 0) & (p[:, 1] < size))
+        img[p[inb, 1], p[inb, 0]] = (60, 60, 60)
 
     # frustum template in camera-local coords (MapDrawer.cc:100-129)
     def frustum_lines(twc, w):
@@ -168,7 +172,8 @@ def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
     w_frustum = 0.04 * radius
     if len(kf_ids):
         from orbslam2_tpu.slammap import covisibility
-        wmat = covisibility.weight_matrix(m)
+        wmat = covis_w if covis_w is not None \
+            else covisibility.weight_matrix(m)
         c_uv, c_vis = project(centers)
         for k in kf_ids:
             # spanning tree + strong covisibility edges (DrawGraph)

@@ -114,7 +114,8 @@ class LiveViewer:
                     from orbslam2_tpu.viewer.headless import draw_map_3d
                     cur = tr.last_frame.tcw if tr.last_frame is not None \
                         else None
-                    map_img = draw_map_3d(self.system.map, traj, cur_tcw=cur)
+                    map_img = draw_map_3d(self.system.map, traj, cur_tcw=cur,
+                                          covis_w=tr._covis_w)
                 else:
                     map_img = draw_map_topdown(self.system.map, traj)
         self.last_frame_img = img
