@@ -484,27 +484,50 @@ def bundle_adjust_pcg(
     k = problem.poses.shape[0]
 
     def lm_phase(poses, points, active, use_huber, iters):
+        # f32 guard: a point with <2 active observations is unconstrained
+        # along its viewing ray — the linear step can slide it tens of
+        # meters, and the following iteration's near-singular damped
+        # point Hessian overflows f32 into NaN (measured at KITTI scale:
+        # 1400 KF / 557k obs diverged through exactly this chain; g2o
+        # survives the same step only because it runs in double). Freeze
+        # such points for the phase; culling removes them anyway.
+        n_obs_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
+            active.astype(jnp.float32))
+        under = (n_obs_pt < 2) & ~pt_fixed
+        pt_fixed_ph = pt_fixed | under
+        # an under-constrained point's lone observation also leaves the
+        # problem: a free point would fit it exactly (zero residual, zero
+        # net pull on the camera — the reference's effective behavior);
+        # keeping it against a FROZEN point would wrongly drag the camera
+        active_ph = active & ~under[problem.obs_pt]
+
         def step(carry, _):
             poses, points, lam, cost = carry
             prob = problem._replace(poses=poses, points=points)
             e, jc, jp, z = _residuals_jacobians_flat(prob, cam)
             w, _ = _robust_weights(e, prob, use_huber)
-            w = jnp.where(active & (z > 1e-6), w, 0.0)
+            w = jnp.where(active_ph & (z > 1e-6), w, 0.0)
             delta_c, delta_p = _solve_schur_pcg(
                 e, jc, jp, w, problem.obs_cam, problem.obs_pt, k, p,
-                problem.cam_fixed, pt_fixed, lam, pcg_iters)
+                problem.cam_fixed, pt_fixed_ph, lam, pcg_iters)
             poses_new = se3.retract(poses, delta_c)
             points_new = points + delta_p
             cost_new = _total_cost(
-                problem._replace(poses=poses_new, points=points_new), cam, active, use_huber)
-            accept = cost_new < cost
+                problem._replace(poses=poses_new, points=points_new), cam, active_ph, use_huber)
+            # a non-finite step must never be accepted: NaN poses turn z
+            # NaN, the z-gate then masks every residual out and the
+            # collapsed cost would pass the plain < test
+            finite = (jnp.isfinite(cost_new)
+                      & jnp.isfinite(jnp.sum(delta_c))
+                      & jnp.isfinite(jnp.sum(delta_p)))
+            accept = (cost_new < cost) & finite
             poses_out = jnp.where(accept, poses_new, poses)
             points_out = jnp.where(accept, points_new, points)
             lam_out = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e8))
             cost_out = jnp.where(accept, cost_new, cost)
             return (poses_out, points_out, lam_out, cost_out), None
 
-        cost0 = _total_cost(problem._replace(poses=poses, points=points), cam, active, use_huber)
+        cost0 = _total_cost(problem._replace(poses=poses, points=points), cam, active_ph, use_huber)
         (poses, points, _, cost), _ = jax.lax.scan(
             step, (poses, points, jnp.float32(lam0), cost0), None, length=iters)
         return poses, points, cost
@@ -555,29 +578,40 @@ def bundle_adjust(
     def lm_phase(poses, points, active, use_huber, iters):
         prob0 = problem._replace(poses=poses, points=points)
 
+        # f32 guard: freeze points with <2 active observations (see
+        # bundle_adjust_pcg — same unconstrained-ray overflow chain)
+        n_obs_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
+            active.astype(jnp.float32))
+        under = (n_obs_pt < 2) & ~pt_fixed
+        pt_fixed_ph = pt_fixed | under
+        active_ph = active & ~under[problem.obs_pt]  # see bundle_adjust_pcg
+
         def step(carry, _):
             poses, points, lam, cost = carry
             prob = problem._replace(poses=poses, points=points)
             h_cc, h_pp, b_c, b_p, w_cp, _ = _build_blocks(
-                prob, cam, active, use_huber)
+                prob, cam, active_ph, use_huber)
             # freeze fixed points by zeroing their gradient and coupling
-            b_p = jnp.where(pt_fixed[:, None], 0.0, b_p)
-            w_cp = jnp.where(pt_fixed[None, :, None, None], 0.0, w_cp)
-            h_pp = jnp.where(pt_fixed[:, None, None], jnp.eye(3)[None], h_pp)
+            b_p = jnp.where(pt_fixed_ph[:, None], 0.0, b_p)
+            w_cp = jnp.where(pt_fixed_ph[None, :, None, None], 0.0, w_cp)
+            h_pp = jnp.where(pt_fixed_ph[:, None, None], jnp.eye(3)[None], h_pp)
             delta_c, delta_p = _solve_schur_dense(
                 h_cc, h_pp, b_c, b_p, w_cp, problem.cam_fixed, lam)
             poses_new = se3.retract(poses, delta_c)
-            points_new = points + jnp.where(pt_fixed[:, None], 0.0, delta_p)
+            points_new = points + jnp.where(pt_fixed_ph[:, None], 0.0, delta_p)
             cost_new = _total_cost(
-                problem._replace(poses=poses_new, points=points_new), cam, active, use_huber)
-            accept = cost_new < cost
+                problem._replace(poses=poses_new, points=points_new), cam, active_ph, use_huber)
+            finite = (jnp.isfinite(cost_new)
+                      & jnp.isfinite(jnp.sum(delta_c))
+                      & jnp.isfinite(jnp.sum(delta_p)))
+            accept = (cost_new < cost) & finite
             poses_out = jnp.where(accept, poses_new, poses)
             points_out = jnp.where(accept, points_new, points)
             lam_out = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e8))
             cost_out = jnp.where(accept, cost_new, cost)
             return (poses_out, points_out, lam_out, cost_out), None
 
-        cost0 = _total_cost(prob0, cam, active, use_huber)
+        cost0 = _total_cost(prob0, cam, active_ph, use_huber)
         (poses, points, _, cost), _ = jax.lax.scan(
             step, (poses, points, jnp.float32(lam0), cost0), None, length=iters)
         return poses, points, cost

@@ -134,6 +134,32 @@ class TestF32VsF64Oracle:
         assert e64 < 1.0  # sanity: the chain did not explode
 
 
+class TestWeaklyObservedPoints:
+    def test_kitti_density_observation_graph(self):
+        """KITTI-map observation density (~3-7 obs/pt with a tail of 0/1-obs
+        points): round-3 regression — 1-obs points are unconstrained along
+        their ray, the linear step slid them tens of meters, and the next
+        iteration's near-singular damped point Hessian overflowed f32 into
+        an all-NaN delta that the cost test then ACCEPTED (NaN poses turn
+        the z-gate off and collapse the masked cost). The solver now
+        freezes <2-obs points per phase and rejects non-finite steps."""
+        problem_fn, poses_true, _ = make_long_thin_problem(
+            n_cams=256, n_pts=20_000, n_obs=131_072, seed=1, perturb=0.01)
+        res = ba.bundle_adjust_pcg(problem_fn(np.float32), CAM,
+                                   phase_iters=(4, 6), pcg_iters=30)
+        poses = np.asarray(res.poses, np.float64)
+        assert np.isfinite(poses).all(), "NaN/inf poses at KITTI density"
+        assert np.abs(poses - poses_true).max() < 0.3
+        assert float(np.asarray(res.inlier).mean()) > 0.9
+        # dense path hits the same chain
+        problem_fn2, poses_true2, _ = make_long_thin_problem(
+            n_cams=48, n_pts=4_000, n_obs=16_384, seed=2, perturb=0.01)
+        res2 = ba.bundle_adjust(problem_fn2(np.float32), CAM)
+        poses2 = np.asarray(res2.poses, np.float64)
+        assert np.isfinite(poses2).all()
+        assert float(np.asarray(res2.inlier).mean()) > 0.9
+
+
 def teardown_module(module):
     # the 8-device / full-capacity compiles in this module are the suite's
     # largest; dropping the executable cache keeps the whole-suite memory
