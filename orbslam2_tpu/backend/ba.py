@@ -539,7 +539,14 @@ def bundle_adjust_pcg(
         use_huber = jnp.bool_(phase == 0)
         poses, points, cost = lm_phase(poses, points, active, use_huber, iters)
         inlier = _classify_inliers(problem._replace(poses=poses, points=points), cam)
-        active = active & inlier
+        # observations of under-constrained (<2-obs, phase-frozen) points
+        # were never optimized — judging them against the unmoved point
+        # would mark them outliers and callers would ERASE the point's only
+        # observation; they keep their prior status instead
+        n_obs_pt = jnp.zeros((problem.points.shape[0],)).at[
+            problem.obs_pt].add(active.astype(jnp.float32))
+        unjudged = ((n_obs_pt < 2) & ~pt_fixed)[problem.obs_pt]
+        active = active & (inlier | unjudged)
     return BAResult(poses=poses, points=points, inlier=active, cost=cost)
 
 
@@ -623,5 +630,12 @@ def bundle_adjust(
         use_huber = jnp.bool_(phase == 0)
         poses, points, cost = lm_phase(poses, points, active, use_huber, iters)
         inlier = _classify_inliers(problem._replace(poses=poses, points=points), cam)
-        active = active & inlier
+        # observations of under-constrained (<2-obs, phase-frozen) points
+        # were never optimized — judging them against the unmoved point
+        # would mark them outliers and callers would ERASE the point's only
+        # observation; they keep their prior status instead
+        n_obs_pt = jnp.zeros((problem.points.shape[0],)).at[
+            problem.obs_pt].add(active.astype(jnp.float32))
+        unjudged = ((n_obs_pt < 2) & ~pt_fixed)[problem.obs_pt]
+        active = active & (inlier | unjudged)
     return BAResult(poses=poses, points=points, inlier=active, cost=cost)
