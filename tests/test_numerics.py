@@ -160,6 +160,47 @@ class TestWeaklyObservedPoints:
         assert float(np.asarray(res2.inlier).mean()) > 0.9
 
 
+    def test_lone_observation_keeps_prior_status(self):
+        """A <2-obs point is frozen for the phase, so its observation is
+        never optimized; judging it against the unmoved point would mark
+        it an outlier and callers would ERASE the point's only
+        observation. g2o instead optimizes the free point, which fits its
+        lone residual exactly and classifies inlier
+        (/root/reference/src/Optimizer.cc:230-246 over the full set) —
+        so retaining the prior (valid) status matches the reference's
+        effective behavior. Regression for the round-3 fix in
+        backend/ba.py (bundle_adjust / bundle_adjust_pcg epilogues)."""
+        problem_fn, _, pts_true = make_long_thin_problem(
+            n_cams=16, n_pts=512, n_obs=4096, seed=7, perturb=0.0)
+        prob = problem_fn(np.float32)
+        # give the first 8 points exactly one (displaced-init) observation:
+        # retarget every other observation of those points elsewhere
+        obs_pt = np.asarray(prob.obs_pt).copy()
+        lone = []
+        for p in range(8):
+            idx = np.flatnonzero(obs_pt == p)
+            if len(idx) == 0:
+                continue
+            obs_pt[idx[1:]] = 8 + p  # keep one, move the rest
+            lone.append(int(idx[0]))
+        pts = np.asarray(prob.points).copy()
+        pts[:8] += 5.0  # gross init error: judged naively -> outlier
+        prob = prob._replace(obs_pt=jnp.asarray(obs_pt),
+                             points=jnp.asarray(pts))
+        lone = np.asarray(lone)
+        for solve in (lambda p: ba.bundle_adjust(p, CAM),
+                      lambda p: ba.bundle_adjust_pcg(
+                          p, CAM, phase_iters=(3, 3), pcg_iters=20)):
+            res = solve(prob)
+            inl = np.asarray(res.inlier)
+            # the lone observations keep their prior (valid) status
+            assert inl[lone].all(), \
+                "lone observations of frozen points were judged outliers"
+            # and the frozen points were not moved
+            assert np.allclose(np.asarray(res.points)[:8], pts[:8]), \
+                "<2-obs points must stay frozen through the solve"
+
+
 def teardown_module(module):
     # the 8-device / full-capacity compiles in this module are the suite's
     # largest; dropping the executable cache keeps the whole-suite memory
