@@ -484,16 +484,23 @@ def bundle_adjust_pcg(
     k = problem.poses.shape[0]
 
     def lm_phase(poses, points, active, use_huber, iters):
-        # f32 guard: a point with <2 active observations is unconstrained
-        # along its viewing ray — the linear step can slide it tens of
-        # meters, and the following iteration's near-singular damped
-        # point Hessian overflows f32 into NaN (measured at KITTI scale:
-        # 1400 KF / 557k obs diverged through exactly this chain; g2o
-        # survives the same step only because it runs in double). Freeze
-        # such points for the phase; culling removes them anyway.
+        # f32 guard: a point with <2 active MONO observations and no
+        # stereo observation is unconstrained along its viewing ray — the
+        # linear step can slide it tens of meters, and the following
+        # iteration's near-singular damped point Hessian overflows f32
+        # into NaN (measured at KITTI scale: 1400 KF / 557k obs diverged
+        # through exactly this chain; g2o survives the same step only
+        # because it runs in double). Freeze such points for the phase;
+        # culling removes them anyway. A stereo observation (u,v,uR) is a
+        # full 3-DoF constraint (depth from disparity), so a point with
+        # even one stereo obs stays free — the reference's local BA
+        # optimizes every freshly backprojected close point from exactly
+        # one stereo obs (Tracking.cc:1064-1090 + Optimizer.cc:528-582).
         n_obs_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
             active.astype(jnp.float32))
-        under = (n_obs_pt < 2) & ~pt_fixed
+        n_st_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
+            (active & problem.obs_stereo).astype(jnp.float32))
+        under = (n_obs_pt < 2) & (n_st_pt < 1) & ~pt_fixed
         pt_fixed_ph = pt_fixed | under
         # an under-constrained point's lone observation also leaves the
         # problem: a free point would fit it exactly (zero residual, zero
@@ -545,7 +552,9 @@ def bundle_adjust_pcg(
         # observation; they keep their prior status instead
         n_obs_pt = jnp.zeros((problem.points.shape[0],)).at[
             problem.obs_pt].add(active.astype(jnp.float32))
-        unjudged = ((n_obs_pt < 2) & ~pt_fixed)[problem.obs_pt]
+        n_st_pt = jnp.zeros((problem.points.shape[0],)).at[
+            problem.obs_pt].add((active & problem.obs_stereo).astype(jnp.float32))
+        unjudged = ((n_obs_pt < 2) & (n_st_pt < 1) & ~pt_fixed)[problem.obs_pt]
         active = active & (inlier | unjudged)
     return BAResult(poses=poses, points=points, inlier=active, cost=cost)
 
@@ -585,11 +594,14 @@ def bundle_adjust(
     def lm_phase(poses, points, active, use_huber, iters):
         prob0 = problem._replace(poses=poses, points=points)
 
-        # f32 guard: freeze points with <2 active observations (see
-        # bundle_adjust_pcg — same unconstrained-ray overflow chain)
+        # f32 guard: freeze ray-unconstrained points — <2 active obs AND
+        # no stereo obs (see bundle_adjust_pcg — same overflow chain; a
+        # single stereo obs fully constrains the point)
         n_obs_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
             active.astype(jnp.float32))
-        under = (n_obs_pt < 2) & ~pt_fixed
+        n_st_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
+            (active & problem.obs_stereo).astype(jnp.float32))
+        under = (n_obs_pt < 2) & (n_st_pt < 1) & ~pt_fixed
         pt_fixed_ph = pt_fixed | under
         active_ph = active & ~under[problem.obs_pt]  # see bundle_adjust_pcg
 
@@ -636,6 +648,8 @@ def bundle_adjust(
         # observation; they keep their prior status instead
         n_obs_pt = jnp.zeros((problem.points.shape[0],)).at[
             problem.obs_pt].add(active.astype(jnp.float32))
-        unjudged = ((n_obs_pt < 2) & ~pt_fixed)[problem.obs_pt]
+        n_st_pt = jnp.zeros((problem.points.shape[0],)).at[
+            problem.obs_pt].add((active & problem.obs_stereo).astype(jnp.float32))
+        unjudged = ((n_obs_pt < 2) & (n_st_pt < 1) & ~pt_fixed)[problem.obs_pt]
         active = active & (inlier | unjudged)
     return BAResult(poses=poses, points=points, inlier=active, cost=cost)

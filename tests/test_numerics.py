@@ -161,44 +161,99 @@ class TestWeaklyObservedPoints:
 
 
     def test_lone_observation_keeps_prior_status(self):
-        """A <2-obs point is frozen for the phase, so its observation is
-        never optimized; judging it against the unmoved point would mark
-        it an outlier and callers would ERASE the point's only
-        observation. g2o instead optimizes the free point, which fits its
-        lone residual exactly and classifies inlier
-        (/root/reference/src/Optimizer.cc:230-246 over the full set) —
-        so retaining the prior (valid) status matches the reference's
-        effective behavior. Regression for the round-3 fix in
-        backend/ba.py (bundle_adjust / bundle_adjust_pcg epilogues)."""
+        """A lone-MONO-obs point is ray-unconstrained, so it is frozen for
+        the phase and its observation is never optimized; judging it
+        against the unmoved point would mark it an outlier and callers
+        would ERASE the point's only observation. g2o instead optimizes
+        the free point, which fits its lone residual exactly and
+        classifies inlier (/root/reference/src/Optimizer.cc:230-246 over
+        the full set) — so retaining the prior (valid) status matches the
+        reference's effective behavior. A lone-STEREO-obs point is fully
+        constrained (u,v,uR fixes all 3 DoF) and must stay FREE: the
+        reference's local BA optimizes every freshly backprojected close
+        point from exactly one stereo obs (Tracking.cc:1064-1090) —
+        freezing those degraded the whole stereo pipeline (round-3
+        regression: e2e loop detection starved, +2 lost frames)."""
         problem_fn, _, pts_true = make_long_thin_problem(
             n_cams=16, n_pts=512, n_obs=4096, seed=7, perturb=0.0)
         prob = problem_fn(np.float32)
-        # give the first 8 points exactly one (displaced-init) observation:
-        # retarget every other observation of those points elsewhere
         obs_pt = np.asarray(prob.obs_pt).copy()
-        lone = []
-        for p in range(8):
+        obs_cam = np.asarray(prob.obs_cam)
+        stereo = np.asarray(prob.obs_stereo).copy()
+        uv = np.asarray(prob.obs_uv).copy()
+        # 8 lone-MONO points (any depth) and 8 lone-STEREO points chosen
+        # at z < 12 m — strong disparity, the regime of the reference's
+        # freshly backprojected close points (mCurrentFrame.mvDepth <
+        # mThDepth, Tracking.cc:1064-1090). Far lone-stereo points
+        # (bf/z^2 -> 0) degenerate toward mono and may legitimately slide
+        # along the ray and classify outlier, as they would in g2o with
+        # the same pixel noise.
+        valid = np.asarray(prob.obs_valid).copy()
+        close = [int(p) for p in np.flatnonzero(pts_true[:, 2] < 12.0)
+                 if p < 200]
+        far = [int(p) for p in np.flatnonzero(pts_true[:, 2] >= 12.0)
+               if p < 200]
+        lone_mono, lone_stereo = [], []
+        mono_pts, stereo_pts = [], []
+        for p in far[:8]:
             idx = np.flatnonzero(obs_pt == p)
             if len(idx) == 0:
                 continue
-            obs_pt[idx[1:]] = 8 + p  # keep one, move the rest
-            lone.append(int(idx[0]))
+            valid[idx[1:]] = False  # keep exactly one observation
+            o = int(idx[0])
+            stereo[o] = False
+            uv[o, 2] = -1.0
+            lone_mono.append(o)
+            mono_pts.append(p)
+        for p in close[:8]:
+            idx = np.flatnonzero(obs_pt == p)
+            if len(idx) == 0:
+                continue
+            valid[idx[1:]] = False
+            o = int(idx[0])
+            # force a stereo measurement: uR = u - bf/z_true (disparity
+            # consistent with the observed u, true depth)
+            stereo[o] = True
+            uv[o, 2] = uv[o, 0] - CAM.bf / pts_true[p][2]
+            lone_stereo.append(o)
+            stereo_pts.append(p)
+        assert len(lone_mono) >= 4 and len(lone_stereo) >= 4
         pts = np.asarray(prob.points).copy()
-        pts[:8] += 5.0  # gross init error: judged naively -> outlier
+        # mono-lone points: gross init error — judged naively they would
+        # classify outlier (the frozen point never moves toward its obs)
+        pts[mono_pts] += 3.0
+        # stereo-lone points: a real (convergable) init error — the free
+        # point must be pulled onto its full-rank residual and kept
+        pts[stereo_pts] += 0.2
         prob = prob._replace(obs_pt=jnp.asarray(obs_pt),
+                             obs_stereo=jnp.asarray(stereo),
+                             obs_uv=jnp.asarray(uv),
+                             obs_valid=jnp.asarray(valid),
                              points=jnp.asarray(pts))
-        lone = np.asarray(lone)
+        lone_mono = np.asarray(lone_mono)
+        lone_stereo = np.asarray(lone_stereo)
+        mono_pts = obs_pt[lone_mono]
         for solve in (lambda p: ba.bundle_adjust(p, CAM),
                       lambda p: ba.bundle_adjust_pcg(
                           p, CAM, phase_iters=(3, 3), pcg_iters=20)):
             res = solve(prob)
             inl = np.asarray(res.inlier)
-            # the lone observations keep their prior (valid) status
-            assert inl[lone].all(), \
-                "lone observations of frozen points were judged outliers"
-            # and the frozen points were not moved
-            assert np.allclose(np.asarray(res.points)[:8], pts[:8]), \
-                "<2-obs points must stay frozen through the solve"
+            out_pts = np.asarray(res.points)
+            # lone MONO observations keep their prior (valid) status
+            assert inl[lone_mono].all(), \
+                "lone mono observations of frozen points were judged outliers"
+            # and their (frozen) points were not moved
+            assert np.allclose(out_pts[mono_pts], pts[mono_pts]), \
+                "ray-unconstrained points must stay frozen through the solve"
+            # lone STEREO observations are optimized: the free point fits
+            # its full-rank residual and classifies inlier
+            assert inl[lone_stereo].all(), \
+                "lone stereo observations must be optimized and kept"
+            st_pts = obs_pt[lone_stereo]
+            assert not np.allclose(out_pts[st_pts], pts[st_pts]), \
+                "single-stereo-obs points must stay free (reference behavior)"
+            assert np.isfinite(out_pts).all() and \
+                np.isfinite(np.asarray(res.poses)).all()
 
 
 def teardown_module(module):
