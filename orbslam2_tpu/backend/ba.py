@@ -495,7 +495,14 @@ def bundle_adjust_pcg(
         # full 3-DoF constraint (depth from disparity), so a point with
         # even one stereo obs stays free — the reference's local BA
         # optimizes every freshly backprojected close point from exactly
-        # one stereo obs (Tracking.cc:1064-1090 + Optimizer.cc:528-582).
+        # one stereo obs (CreateNewKeyFrame close-point loop,
+        # Tracking.cc:1323-1381, + Optimizer.cc:528-582).
+        # Known mismatch (accepted): the counts gate on `active` only, not
+        # on the per-step z>1e-6 visibility used for the weights — a point
+        # whose lone stereo obs is behind the camera counts as constrained
+        # while its weight is zeroed (rank-0 Hessian + 1e-8 ridge). The
+        # finite-step rejection below backstops any resulting blow-up, and
+        # such points classify outlier and are culled.
         n_obs_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
             active.astype(jnp.float32))
         n_st_pt = jnp.zeros((p,)).at[problem.obs_pt].add(

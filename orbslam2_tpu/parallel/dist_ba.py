@@ -52,7 +52,9 @@ def _dist_lm_step(
     cam_fixed, pt_fixed, cam: PinholeCamera, use_huber, pcg_iters: int,
 ):
     """One LM iteration, executed inside shard_map (obs arrays are the
-    local shard; poses/points replicated)."""
+    local shard; poses/points replicated). `active` and `pt_fixed` must
+    already carry the per-phase ray-unconstrained freeze computed in
+    `run_phase` (mirrors ba.bundle_adjust_pcg's f32 guards)."""
     n_cams = poses.shape[0]
     n_pts = points.shape[0]
     prob = BAProblem(
@@ -114,9 +116,20 @@ def _dist_lm_step(
     x0 = jnp.zeros_like(b_red)
     r0 = b_red
     z0 = precond(r0)
+    # truncated CG with the single-chip stopping rule (ba._solve_schur_pcg):
+    # running fixed-length past convergence lets the floored alpha/beta
+    # divisions corrupt a converged iterate (near-zero rz and pAp), which
+    # measurably degraded LM convergence vs the single-chip solver. All CG
+    # state is replicated (built from psum'd blocks), so the while_loop
+    # condition is uniform across the mesh.
+    rr_stop = 1e-6 * dot(b_red, b_red)
 
-    def body(carry, _):
-        x, r, z, pdir, rz = carry
+    def cg_cond(carry):
+        _, r, _, _, _, i = carry
+        return (i < pcg_iters) & (dot(r, r) > rr_stop)
+
+    def cg_body(carry):
+        x, r, z, pdir, rz, i = carry
         ap = schur_matvec(pdir)
         alpha = rz / jnp.maximum(dot(pdir, ap), 1e-20)
         x = x + alpha * pdir
@@ -124,10 +137,10 @@ def _dist_lm_step(
         z = precond(r)
         rz_new = dot(r, z)
         beta = rz_new / jnp.maximum(rz, 1e-20)
-        return (x, r, z, z + beta * pdir, rz_new), None
+        return (x, r, z, z + beta * pdir, rz_new, i + 1)
 
-    (x, _, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, z0, dot(r0, z0)),
-                                      None, length=pcg_iters)
+    x, _, _, _, _, _ = jax.lax.while_loop(
+        cg_cond, cg_body, (x0, r0, z0, z0, dot(r0, z0), jnp.int32(0)))
     delta_c = jnp.where(free[:, None], x, 0.0)
     u = coupling_apply(delta_c)
     delta_p = ba._matvec_rows_flat(h_pp_inv, b_p - u, 3, 3)
@@ -139,7 +152,15 @@ def _dist_lm_step(
     e2, z2 = ba._residual_only_ba(prob_new, cam)
     _, cost_o2 = ba._robust_weights(e2, prob_new, use_huber)
     cost_new = _psum(jnp.sum(jnp.where(active & (z2 > 1e-6), cost_o2, 0.0)))
-    accept = cost_new < cost
+    # a non-finite step must never be accepted: NaN poses turn z NaN, the
+    # z-gate then masks every residual out and the collapsed cost would
+    # pass the plain < test (same f32 chain as ba.bundle_adjust_pcg; g2o
+    # survives it only by running in double, Optimizer.cc:61-281).
+    # delta_c/delta_p are replicated, so no psum is needed here.
+    finite = (jnp.isfinite(cost_new)
+              & jnp.isfinite(jnp.sum(delta_c))
+              & jnp.isfinite(jnp.sum(delta_p)))
+    accept = (cost_new < cost) & finite
     poses_out = jnp.where(accept, poses_new, poses)
     points_out = jnp.where(accept, points_new, points)
     lam_out = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-9), jnp.minimum(lam * 5.0, 1e8))
@@ -178,6 +199,20 @@ def distributed_bundle_adjust(
         use_huber = phase_flags[0] > 0.5
         iters = phase_flags[1].astype(jnp.int32)
 
+        # f32 guard (mirrors ba.bundle_adjust_pcg): a point with <2 active
+        # observations and no stereo obs is unconstrained along its viewing
+        # ray — freeze it for the phase and drop its observations from the
+        # problem. Per-point counts need a psum: each shard sees only its
+        # slice of the observation axis.
+        n_pts_g = points.shape[0]
+        n_obs_pt = _psum(jnp.zeros((n_pts_g,)).at[obs_pt].add(
+            active.astype(jnp.float32)))
+        n_st_pt = _psum(jnp.zeros((n_pts_g,)).at[obs_pt].add(
+            (active & obs_st).astype(jnp.float32)))
+        under = (n_obs_pt < 2) & (n_st_pt < 1) & ~pt_fixed
+        pt_fixed = pt_fixed | under
+        active = active & ~under[obs_pt]
+
         def step(carry, _):
             poses, points, lam, cost, it = carry
             poses, points, lam, cost = jax.lax.cond(
@@ -215,5 +250,15 @@ def distributed_bundle_adjust(
             active, problem.cam_fixed, pt_fixed, flags)
         inlier = ba._classify_inliers(
             problem._replace(poses=poses, points=points), cam)
-        active = active & inlier
+        # observations of phase-frozen (ray-unconstrained) points were
+        # never optimized — judging them against the unmoved point would
+        # erase the point's only observation; retain prior status
+        # (mirrors ba.bundle_adjust_pcg). Full replicated arrays here, so
+        # plain segment sums suffice.
+        n_obs_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
+            active.astype(jnp.float32))
+        n_st_pt = jnp.zeros((p,)).at[problem.obs_pt].add(
+            (active & problem.obs_stereo).astype(jnp.float32))
+        unjudged = ((n_obs_pt < 2) & (n_st_pt < 1) & ~pt_fixed)[problem.obs_pt]
+        active = active & (inlier | unjudged)
     return BAResult(poses=poses, points=points, inlier=active, cost=cost)

@@ -171,7 +171,7 @@ class TestWeaklyObservedPoints:
         reference's effective behavior. A lone-STEREO-obs point is fully
         constrained (u,v,uR fixes all 3 DoF) and must stay FREE: the
         reference's local BA optimizes every freshly backprojected close
-        point from exactly one stereo obs (Tracking.cc:1064-1090) —
+        point from exactly one stereo obs (CreateNewKeyFrame close-point loop, Tracking.cc:1323-1381; UpdateLastFrame temporal points, Tracking.cc:986-1030) —
         freezing those degraded the whole stereo pipeline (round-3
         regression: e2e loop detection starved, +2 lost frames)."""
         problem_fn, _, pts_true = make_long_thin_problem(
@@ -184,7 +184,7 @@ class TestWeaklyObservedPoints:
         # 8 lone-MONO points (any depth) and 8 lone-STEREO points chosen
         # at z < 12 m — strong disparity, the regime of the reference's
         # freshly backprojected close points (mCurrentFrame.mvDepth <
-        # mThDepth, Tracking.cc:1064-1090). Far lone-stereo points
+        # mThDepth, CreateNewKeyFrame, Tracking.cc:1323-1381). Far lone-stereo points
         # (bf/z^2 -> 0) degenerate toward mono and may legitimately slide
         # along the ray and classify outlier, as they would in g2o with
         # the same pixel noise.
