@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from orbslam2_tpu.geometry import se3
+from orbslam2_tpu.geometry import se3, sim3
 from orbslam2_tpu.geometry.camera import PinholeCamera
 from orbslam2_tpu.ops import hamming, match
 from orbslam2_tpu.ops.orb import Keypoints
@@ -204,6 +204,45 @@ def search_by_descriptor(
     q = q_desc.shape[0]
     won = (best_kp >= 0) & (assoc[jnp.clip(best_kp, 0, kp.n - 1)] == jnp.arange(q))
     return jnp.where(won, best_kp, -1), best_dist
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor",
+                                             "n_levels", "max_hamming"))
+def search_by_sim3_dir(
+    s_dst_src: jax.Array,    # [4, 4] Sim3 mapping src-camera -> dst-camera
+    t_src_w: jax.Array,      # [4, 4] src keyframe pose (world -> camera)
+    pt_pos: jax.Array,       # [P, 3] world positions (src KF's map points)
+    pt_desc: jax.Array,      # [P, 8]
+    pt_valid: jax.Array,     # [P]
+    pt_min_dist: jax.Array,  # [P]
+    pt_max_dist: jax.Array,  # [P]
+    kp_dst: Keypoints,
+    radius_th: float,
+    cam: PinholeCamera,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
+    max_hamming: int = hamming.TH_HIGH,
+) -> jax.Array:
+    """One direction of ORBmatcher::SearchBySim3
+    (/root/reference/src/ORBmatcher.cc:1166-1290): project one keyframe's
+    map points through the candidate Sim3 into the other's image and take
+    the best descriptor match within th*scale^pred — no view-angle gate,
+    no ratio test, no conflict resolution (mutual agreement between the
+    two directions replaces them). -> [P] best dst keypoint per point."""
+    p_src = se3.apply(t_src_w, pt_pos)
+    p_dst = sim3.apply(s_dst_src, p_src)
+    uv, z = cam.project(p_dst)
+    min_x, max_x, min_y, max_y = cam.undistorted_bounds()
+    in_img = ((uv[:, 0] >= min_x) & (uv[:, 0] < max_x)
+              & (uv[:, 1] >= min_y) & (uv[:, 1] < max_y))
+    dist = jnp.linalg.norm(p_dst, axis=-1)
+    in_band = (dist >= 0.8 * pt_min_dist) & (dist <= 1.2 * pt_max_dist)
+    pred = match.predict_scale_level(dist, pt_max_dist, scale_factor, n_levels)
+    radius = radius_th * scale_factor ** pred.astype(jnp.float32)
+    res = match.windowed_match(
+        uv, pt_desc, pt_valid & (z > 0.0) & in_img & in_band, radius,
+        jnp.maximum(pred - 1, 0), pred, kp_dst, max_dist=max_hamming)
+    return res.best_kp
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor",

@@ -204,15 +204,43 @@ class LoopCloser:
             if not bool(res.success):
                 continue
 
-            uv1 = m.kf_kp_xy[kf, idx1[:n]]
-            uv2 = m.kf_kp_xy[cand, idx2[:n]]
-            uv1 = np.pad(uv1, ((0, pad), (0, 0))).astype(np.float32)
-            uv2 = np.pad(uv2, ((0, pad), (0, 0))).astype(np.float32)
+            # SearchBySim3 match expansion (ORBmatcher.cc:1166, used at
+            # LoopClosing.cc:391-401): mutually project both keyframes'
+            # map points through the RANSAC Sim3 (th=7.5) to ADD matches
+            # before OptimizeSim3 — only then is the >=20-inlier gate
+            # applied, so borderline loops with thin BoW matching are
+            # rescued the way the reference rescues them (r3 verdict #4).
+            inl_pairs = np.asarray(res.inliers)[:n]
+            k_idx1 = idx1[:n][inl_pairs]
+            k_idx2 = idx2[:n][inl_pairs]
+            e_idx1, e_idx2 = self._search_by_sim3(
+                kf, cand, np.asarray(res.s12), k_idx1, k_idx2)
+            a_idx1 = np.concatenate([k_idx1, e_idx1])
+            a_idx2 = np.concatenate([k_idx2, e_idx2])
+            pid1a = m.kf_pt[kf, a_idx1]
+            pid2a = m.kf_pt[cand, a_idx2]
+            p1ca = m.pt_pos[pid1a] @ t1[:3, :3].T + t1[:3, 3]
+            p2ca = m.pt_pos[pid2a] @ t2[:3, :3].T + t2[:3, 3]
+            cap2 = size_bucket(len(a_idx1), 256, 4, m.cap.n_features)
+            n2 = min(len(a_idx1), cap2)
+            pad2 = cap2 - n2
+            p1c_o = np.pad(p1ca[:n2], ((0, pad2), (0, 0))).astype(np.float32)
+            p2c_o = np.pad(p2ca[:n2], ((0, pad2), (0, 0))).astype(np.float32)
+            valid_o = np.zeros(cap2, bool)
+            valid_o[:n2] = True
+            s1o = sf ** (2.0 * m.kf_kp_octave[kf, a_idx1[:n2]])
+            s2o = sf ** (2.0 * m.kf_kp_octave[cand, a_idx2[:n2]])
+            s1o = np.pad(s1o, (0, pad2), constant_values=1.0).astype(np.float32)
+            s2o = np.pad(s2o, (0, pad2), constant_values=1.0).astype(np.float32)
+            uv1 = m.kf_kp_xy[kf, a_idx1[:n2]]
+            uv2 = m.kf_kp_xy[cand, a_idx2[:n2]]
+            uv1 = np.pad(uv1, ((0, pad2), (0, 0))).astype(np.float32)
+            uv2 = np.pad(uv2, ((0, pad2), (0, 0))).astype(np.float32)
             s12, inl, n_in = sim3_opt.optimize_sim3(
-                res.s12, jnp.asarray(p1c_p), jnp.asarray(p2c_p),
+                res.s12, jnp.asarray(p1c_o), jnp.asarray(p2c_o),
                 jnp.asarray(uv1), jnp.asarray(uv2),
-                jnp.asarray(1.0 / s1), jnp.asarray(1.0 / s2),
-                jnp.asarray(valid) & res.inliers, self.cam,
+                jnp.asarray(1.0 / s1o), jnp.asarray(1.0 / s2o),
+                jnp.asarray(valid_o), self.cam,
                 fix_scale=cfg.fix_scale)
             if int(n_in) < cfg.min_sim3_inliers:
                 continue
@@ -226,6 +254,39 @@ class LoopCloser:
             if total >= cfg.min_total_matches:
                 return True, cand, np.asarray(s_cw)
         return False, -1, None
+
+    def _search_by_sim3(self, kf: int, cand: int, s12: np.ndarray,
+                        matched1: np.ndarray, matched2: np.ndarray):
+        """Mutual Sim3-guided projection matching between the current and
+        candidate keyframes (ORBmatcher::SearchBySim3, th=7.5): each side's
+        unmatched map points project into the other's image through the
+        candidate Sim3; a pair survives only if both directions agree.
+        `s12` maps cand-camera coords -> current-KF-camera coords.
+        -> (idx1, idx2) arrays of NEW keypoint-slot pairs."""
+        m = self.map
+
+        def one_dir(src, dst, s_dst_src, matched_src):
+            pids = m.kf_pt[src]
+            safe = np.maximum(pids, 0)
+            q_valid = (pids >= 0) & m.kf_kp_valid[src] & m.pt_valid[safe]
+            q_valid[matched_src] = False
+            best = kernels.search_by_sim3_dir(
+                jnp.asarray(np.asarray(s_dst_src, np.float32)),
+                jnp.asarray(m.kf_pose[src].astype(np.float32)),
+                jnp.asarray(m.pt_pos[safe]), jnp.asarray(m.pt_desc[safe]),
+                jnp.asarray(q_valid), jnp.asarray(m.pt_min_dist[safe]),
+                jnp.asarray(m.pt_max_dist[safe]),
+                kf_keypoints(m, dst), 7.5, self.cam,
+                self.cfg.scale_factor, self.cfg.n_levels)
+            return np.asarray(best)
+
+        s21 = np.asarray(sim3.inverse(jnp.asarray(s12)))
+        best_a = one_dir(kf, cand, s21, matched1)   # kf slot -> cand kp
+        best_b = one_dir(cand, kf, s12, matched2)   # cand slot -> kf kp
+        i1 = np.where(best_a >= 0)[0]
+        s2 = best_a[i1]
+        agree = best_b[s2] == i1
+        return i1[agree].astype(np.int64), s2[agree].astype(np.int64)
 
     def _count_neighborhood_matches(self, kf: int, cand: int, s_cw: np.ndarray,
                                     w: np.ndarray) -> int:

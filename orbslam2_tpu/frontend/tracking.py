@@ -694,11 +694,66 @@ class Tracker:
             inl = np.asarray(res.inliers)
             for j in np.where(inl[:n])[0]:
                 fr.pt_ids[kp_idx[j]] = pids[j]
-            if self._optimize_frame_pose(fr, min_inliers=10):
+            # reference escalation protocol (Tracking.cc:1749-1803):
+            # pose-opt -> if <50 inliers, widened SearchByProjection
+            # (th=10, ORBdist=100) -> re-opt -> if 30<n<50, narrow pass
+            # (th=3, ORBdist=64) -> final opt; accept ONLY at >=50 —
+            # a pose supported by 10 BoW inliers alone is too easy to be
+            # wrong (r3 verdict missing #4).
+            if not self._optimize_frame_pose(fr, min_inliers=10):
+                continue
+            n_good = self.matches_inliers
+            if n_good < 50:
+                n_add = self._reloc_project_candidate(fr, cand, 3.0, 100)
+                if n_good + n_add >= 50:
+                    self._optimize_frame_pose(fr, min_inliers=1)
+                    n_good = self.matches_inliers
+                    if 30 < n_good < 50:
+                        n_add = self._reloc_project_candidate(
+                            fr, cand, 0.75, 64)
+                        if n_good + n_add >= 50:
+                            self._optimize_frame_pose(fr, min_inliers=1)
+                            n_good = self.matches_inliers
+            if n_good >= 50:
                 self.last_reloc_frame_id = fr.frame_id
                 self.ref_kf = int(cand)
                 return True
         return False
+
+    def _reloc_project_candidate(self, fr: frame_mod.Frame, cand: int,
+                                 radius_mult: float,
+                                 max_hamming: int) -> int:
+        """SearchByProjection(F, KF, sFound, th, ORBdist)
+        (/root/reference/src/ORBmatcher.cc reloc overload, used at
+        Tracking.cc:1763/1777): project the candidate keyframe's map
+        points into the frame with a widened window, matching only free
+        keypoints and skipping already-associated points (sFound).
+        Radius divergence (documented): the reference uses th*scale
+        directly; this reuses the view-angle base (2.5/4.0 px) times
+        `radius_mult`, so th=10 maps to radius_mult=3.0 (7.5-12 px) and
+        th=3 to 0.75 (1.9-3 px). Returns the number of new associations.
+        Shapes are the KF's fixed keypoint capacity — no per-candidate
+        recompiles."""
+        pids = self.map.kf_pt[cand]
+        safe = np.clip(pids, 0, self.map.pt_pos.shape[0] - 1)
+        valid = (pids >= 0) & self.map.kf_kp_valid[cand] \
+            & self.map.pt_valid[safe]
+        found = fr.pt_ids[fr.pt_ids >= 0]
+        valid &= ~np.isin(pids, found)
+        kp_taken = fr.pt_ids >= 0
+        info, res = kernels.search_local_points(
+            jnp.asarray(fr.tcw), jnp.asarray(self.map.pt_pos[safe]),
+            jnp.asarray(self.map.pt_desc[safe]), jnp.asarray(valid),
+            jnp.asarray(self.map.pt_normal[safe]),
+            jnp.asarray(self.map.pt_min_dist[safe]),
+            jnp.asarray(self.map.pt_max_dist[safe]),
+            fr.kp, jnp.asarray(kp_taken), radius_mult, self.cam,
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
+            max_hamming=max_hamming)
+        assoc = np.asarray(res.assoc)
+        newly = (assoc >= 0) & ~kp_taken
+        fr.pt_ids[newly] = pids[assoc[newly]]
+        return int(newly.sum())
 
     # ------------------------------------------------------------------
     # local-map tracking (Tracking.cc:1125-1188, 1403-1614)

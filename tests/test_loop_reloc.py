@@ -84,6 +84,159 @@ class TestRelocalization:
         assert err < 0.1, f"reloc pose error {err:.3f}"
 
 
+class TestSearchBySim3Expansion:
+    """SearchBySim3 match expansion (ORBmatcher.cc:1166, LoopClosing.cc:
+    391-401): after Sim3-RANSAC the reference mutually projects both point
+    sets to ADD matches before OptimizeSim3 — borderline loops whose BoW
+    matching is thin must be rescued by the expansion (r3 verdict #4)."""
+
+    def _drive(self, voc, thin_to, expansion_on, min_inliers):
+        import time
+
+        from orbslam2_tpu.frontend import kernels as k
+        seq = SyntheticSequence(CAM, n_frames=100, trajectory="panorama",
+                                seed=7, world="room")
+        system = make_system(voc, force_kf_every=4)
+        lc = system.loop_closer
+        lc.cfg.consistency_threshold = 2
+        lc.cfg.min_sim3_inliers = min_inliers
+        system.local_mapper.cfg.kf_cull_redundancy = 2.0
+        orig_search = k.search_by_descriptor
+        orig_sim3 = lc._compute_sim3
+        stats = {"bow_pairs": [], "opt_calls": 0}
+
+        def thin_search(*a, **kw):
+            best_kp, d = orig_search(*a, **kw)
+            bk = np.asarray(best_kp).copy()
+            qs = np.where(bk >= 0)[0]
+            stats["bow_pairs"].append(len(qs))
+            bk[qs[thin_to:]] = -1
+            return jnp.asarray(bk), d
+
+        def sim3_with_thin_bow(kf, cands, w):
+            # scope the thinning to the loop closer's BoW stage only
+            k.search_by_descriptor = thin_search
+            try:
+                return orig_sim3(kf, cands, w)
+            finally:
+                k.search_by_descriptor = orig_search
+
+        lc._compute_sim3 = sim3_with_thin_bow
+        if not expansion_on:
+            lc._search_by_sim3 = lambda *a: (
+                np.zeros(0, np.int64), np.zeros(0, np.int64))
+        for i in range(seq.n_frames):
+            t0 = time.time()
+            while (system.mapping_worker is not None
+                   and system.mapping_worker.queue_size() >= 2
+                   and time.time() - t0 < 10.0):
+                time.sleep(0.01)
+            gray, depth = seq.render(i)
+            system.track_rgbd(gray, depth, i / seq.fps)
+        system.wait_mapping_idle()
+        return system, stats
+
+    def test_expansion_rescues_thin_ransac(self, voc):
+        # BoW matching thinned to 22 pairs; the inlier gate raised to 30 so
+        # the RANSAC inliers alone (<=22) can NEVER pass — only matches
+        # ADDED by SearchBySim3 can. Without expansion the identical drive
+        # must fail the gate (mechanism control).
+        system, stats = self._drive(voc, thin_to=22, expansion_on=True,
+                                    min_inliers=30)
+        assert system.loop_closer.n_loops_closed >= 1, \
+            "expansion failed to rescue the thin-BoW loop"
+        system2, _ = self._drive(voc, thin_to=22, expansion_on=False,
+                                 min_inliers=30)
+        assert system2.loop_closer.n_loops_closed == 0, \
+            "control without expansion should not pass the raised gate"
+
+
+class TestRelocEscalation:
+    """Reference escalation protocol (Tracking.cc:1749-1803): accept only
+    at >=50 inliers, with widened SearchByProjection rounds rescuing
+    candidates whose BoW matching alone is too thin (r3 verdict #3)."""
+
+    def _mapped_system(self, voc):
+        seq = SyntheticSequence(CAM, n_frames=30, trajectory="lateral",
+                                seed=11)
+        system = make_system(voc)
+        for i in range(25):
+            gray, depth = seq.render(i)
+            system.track_rgbd(gray, depth, i / seq.fps)
+        assert system.map.n_keyframes() >= 1
+        system.tracker.state = TrackingState.LOST
+        system.tracker.velocity = None
+        return system, seq
+
+    def _lost_frame(self, system, seq, idx=5):
+        from orbslam2_tpu.frontend import frame as frame_mod
+        gray, depth = seq.render(idx)
+        tr = system.tracker
+        return frame_mod.build_frame_rgbd(
+            999, 99.0, gray, depth, tr.extractor, tr.cam)
+
+    def test_widened_round_rescues_thin_bow_match(self, voc, monkeypatch):
+        """Starve the BoW stage to ~25 matches: the first pose-opt lands
+        <50 inliers, and ONLY the widened projection round can push the
+        count past the acceptance gate — the reference's rescue path."""
+        system, seq = self._mapped_system(voc)
+        tr = system.tracker
+        fr = self._lost_frame(system, seq)
+
+        from orbslam2_tpu.frontend import kernels as k
+        orig = k.search_by_descriptor
+
+        def thin_search(*a, **kw):
+            best_kp, d = orig(*a, **kw)
+            bk = np.asarray(best_kp).copy()
+            qs = np.where(bk >= 0)[0]
+            bk[qs[25:]] = -1  # keep only 25 BoW matches
+            return jnp.asarray(bk), d
+
+        monkeypatch.setattr(k, "search_by_descriptor", thin_search)
+        calls = []
+        orig_proj = tr._reloc_project_candidate
+
+        def spy(fr_, cand, radius_mult, max_hamming):
+            n = orig_proj(fr_, cand, radius_mult, max_hamming)
+            calls.append((radius_mult, max_hamming, n))
+            return n
+
+        monkeypatch.setattr(tr, "_reloc_project_candidate", spy)
+        assert tr._relocalize(fr), "widened round failed to rescue"
+        assert calls, "escalation protocol never ran the projection round"
+        assert calls[0][0] == 3.0 and calls[0][1] == 100
+        assert sum(c[2] for c in calls) > 0, "projection round added nothing"
+        assert tr.matches_inliers >= 50
+        err = np.linalg.norm(
+            np.linalg.inv(fr.tcw)[:3, 3] - np.linalg.inv(seq.poses[5])[:3, 3])
+        assert err < 0.1, f"rescued reloc pose error {err:.3f}"
+
+    def test_thin_candidate_without_rescue_rejected(self, voc, monkeypatch):
+        """A candidate passing the old >=10 gate but with no projection
+        rescue must now be REJECTED at <50 — the r3 verdict's wrong-pose
+        acceptance hole."""
+        system, seq = self._mapped_system(voc)
+        tr = system.tracker
+        fr = self._lost_frame(system, seq)
+
+        from orbslam2_tpu.frontend import kernels as k
+        orig = k.search_by_descriptor
+
+        def thin_search(*a, **kw):
+            best_kp, d = orig(*a, **kw)
+            bk = np.asarray(best_kp).copy()
+            qs = np.where(bk >= 0)[0]
+            bk[qs[25:]] = -1
+            return jnp.asarray(bk), d
+
+        monkeypatch.setattr(k, "search_by_descriptor", thin_search)
+        monkeypatch.setattr(tr, "_reloc_project_candidate",
+                            lambda *a, **kw: 0)
+        assert not tr._relocalize(fr), \
+            "a <50-inlier pose with no rescue must be rejected"
+
+
 class TestGBAProtocol:
     """Abort-and-rerun global BA on a map snapshot with spanning-tree
     propagation (RunGlobalBundleAdjustment, LoopClosing.cc:792-896)."""
