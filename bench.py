@@ -25,6 +25,7 @@ UNDER-estimates production throughput.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -303,8 +304,7 @@ def bench_kitti_full(jax, jnp) -> dict:
                      local_point_cap=4096, max_frames_between_kf=10,
                      min_init_features=400, async_mapping=True,
                      profile_stages=True)
-    system = SLAMSystem(cfg, Sensor.STEREO, vocabulary=get_best_vocabulary())
-    system.loop_closer.cfg.consistency_threshold = 2
+    voc = get_best_vocabulary()
     # drive: TWO laps of the room circuit — the whole second lap revisits
     # mapped territory, so loop closure gets several keyframes even with
     # the thinned keyframe cadence the relay imposes (each mapping stage
@@ -314,8 +314,17 @@ def bench_kitti_full(jax, jnp) -> dict:
     # 420 frames keeps the two-lap per-frame motion at the single-lap
     # rate (~0.03 rad/frame — faster broke motion-model tracking at the
     # KITTI focal length)
-    n_frames, warm = 420, 80
-    seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="circuit2",
+    debug = bool(os.environ.get("ORBSLAM2_BENCH_DEBUG"))
+    n_frames = int(os.environ.get("ORBSLAM2_BENCH_KITTI_FRAMES", "420"))
+    traj = os.environ.get("ORBSLAM2_BENCH_KITTI_TRAJ", "circuit2")
+    # deterministic-loop mode (r3 verdict item 6): reps>1 re-runs the
+    # identical drive in-process — every jitted program (incl. the
+    # loop-closing Sim3/essential-graph/correction chain) is compiled by
+    # rep 1, so later reps time a compile-free steady state and the loop
+    # event fires at a stable keyframe cadence
+    reps = int(os.environ.get("ORBSLAM2_BENCH_KITTI_REPS", "1"))
+    warm = 80
+    seq = SyntheticSequence(cam, n_frames=n_frames, trajectory=traj,
                             seed=9, world="room")
     frame_ids = list(range(n_frames))
     staged = []
@@ -323,54 +332,85 @@ def bench_kitti_full(jax, jnp) -> dict:
         gl, gr, _ = seq.render_stereo(i)
         staged.append((jax.device_put(jnp.asarray(gl, jnp.float32)),
                        jax.device_put(jnp.asarray(gr, jnp.float32))))
-    lost = 0
-    for i in range(warm):
-        system.track_stereo(staged[i][0], staged[i][1], i / seq.fps)
-    system.wait_mapping_idle()
-    meter.enabled = True
-    t0 = time.perf_counter()
-    for i in range(warm, n_frames):
-        if system.track_stereo(staged[i][0], staged[i][1],
-                               i / seq.fps) is None:
-            lost += 1
-    t_total = time.perf_counter() - t0
-    meter.enabled = False
-    system.wait_mapping_idle()
-    m = n_frames - warm
-    t_relay = (meter.n_fetch * rt + meter.bytes_down / bw_down
-               + meter.bytes_up / bw_up)
-    t_corr = max(t_total - t_relay, 1e-6)
     import numpy as _np
-    est = system.tracker.full_trajectory_twc()
     gt = _np.stack([_np.linalg.inv(seq.poses[i]) for i in frame_ids])
-    keep = ~system.tracker.trajectory_lost_mask()
-    ate = float(ate_rmse(est[keep], gt[keep]))
-    ws = system.local_mapper.stats.summary()
-    map_ms = sum(ws[k]["total_s"] for k in
-                 ("mp_culling", "triangulate", "fuse", "local_ba",
-                  "kf_culling") if k in ws)
-    n_kf_mapped = max((ws[k]["n"] for k in ("triangulate", "mp_culling")
-                       if k in ws), default=1)
-    # p95 of the worker's loop-closing stage (includes map-lock wait);
-    # StageTimer keeps no max
-    loop_ms = ws.get("loop_closing", {}).get("p95_ms", 0.0)
-    out = {
-        "metric": "kitti_full_scale",
-        "kitti_fps": round(m / t_corr, 2),
-        "kitti_fps_raw": round(m / t_total, 2),
-        "vs_kitti_rate": round(m / t_corr / 10.0, 2),  # KITTI runs at 10 fps
-        "tracked": f"{m - lost}/{m}",
-        "keyframes": system.map.n_keyframes(),
-        "points": system.map.n_points(),
-        "loops_closed": system.loop_closer.n_loops_closed,
-        "gba_applied": system.loop_closer.n_gba_applied,
-        "ate_m": round(ate, 4),
-        "mapping_ms_per_kf": round(map_ms / max(n_kf_mapped, 1) * 1e3, 1),
-        "loop_closing_p95_ms": round(loop_ms, 1),
-        "relay": {"rt_ms": round(rt * 1e3, 1),
-                  "fetches_per_frame": round(meter.n_fetch / m, 2)},
-    }
-    system.shutdown()
+
+    def one_rep():
+        system = SLAMSystem(cfg, Sensor.STEREO, vocabulary=voc)
+        system.loop_closer.cfg.consistency_threshold = 2
+        lost = 0
+        for i in range(warm):
+            system.track_stereo(staged[i][0], staged[i][1], i / seq.fps)
+        system.wait_mapping_idle()
+        meter.n_fetch = meter.bytes_up = meter.bytes_down = 0
+        meter.enabled = True
+        t0 = time.perf_counter()
+        for i in range(warm, n_frames):
+            if system.track_stereo(staged[i][0], staged[i][1],
+                                   i / seq.fps) is None:
+                lost += 1
+        t_total = time.perf_counter() - t0
+        meter.enabled = False
+        system.wait_mapping_idle()
+        m = n_frames - warm
+        t_relay = (meter.n_fetch * rt + meter.bytes_down / bw_down
+                   + meter.bytes_up / bw_up)
+        t_corr = max(t_total - t_relay, 1e-6)
+        est = system.tracker.full_trajectory_twc()
+        keep = ~system.tracker.trajectory_lost_mask()
+        ate = float(ate_rmse(est[keep], gt[keep]))
+        ws = system.local_mapper.stats.summary()
+        map_ms = sum(ws[k]["total_s"] for k in
+                     ("mp_culling", "triangulate", "fuse", "local_ba",
+                      "kf_culling") if k in ws)
+        n_kf_mapped = max((ws[k]["n"] for k in ("triangulate", "mp_culling")
+                           if k in ws), default=1)
+        # p95 of the worker's loop-closing stage (includes map-lock wait);
+        # StageTimer keeps no max
+        loop_ms = ws.get("loop_closing", {}).get("p95_ms", 0.0)
+        out = {
+            "metric": "kitti_full_scale",
+            "kitti_fps": round(m / t_corr, 2),
+            "kitti_fps_raw": round(m / t_total, 2),
+            "vs_kitti_rate": round(m / t_corr / 10.0, 2),  # KITTI at 10 fps
+            "tracked": f"{m - lost}/{m}",
+            "keyframes": system.map.n_keyframes(),
+            "points": system.map.n_points(),
+            "loops_closed": system.loop_closer.n_loops_closed,
+            "gba_applied": system.loop_closer.n_gba_applied,
+            "ate_m": round(ate, 4),
+            "mapping_ms_per_kf": round(map_ms / max(n_kf_mapped, 1) * 1e3, 1),
+            "loop_closing_p95_ms": round(loop_ms, 1),
+            "relay": {"rt_ms": round(rt * 1e3, 1),
+                      "fetches_per_frame": round(meter.n_fetch / m, 2)},
+        }
+        if debug:
+            import sys as _sys
+            print("-- tracker stages --", file=_sys.stderr)
+            print(system.tracker.stats.report(), file=_sys.stderr)
+            print("-- mapping worker --", file=_sys.stderr)
+            print(system.local_mapper.stats.report(), file=_sys.stderr)
+            print(f"relay meter: n_fetch={meter.n_fetch} "
+                  f"up={meter.bytes_up/1e6:.1f}MB "
+                  f"down={meter.bytes_down/1e6:.1f}MB "
+                  f"t_relay={t_relay:.1f}s t_total={t_total:.1f}s",
+                  file=_sys.stderr)
+        system.shutdown()
+        return out
+
+    rep_outs = []
+    for r in range(reps):
+        rep_outs.append(one_rep())
+        if debug and reps > 1:
+            import sys as _sys
+            print(f"rep {r}: fps={rep_outs[-1]['kitti_fps']} "
+                  f"loops={rep_outs[-1]['loops_closed']} "
+                  f"tracked={rep_outs[-1]['tracked']}", file=_sys.stderr)
+    out = rep_outs[-1]
+    if reps > 1:
+        out["reps"] = [{k: o[k] for k in
+                        ("kitti_fps", "kitti_fps_raw", "loops_closed",
+                         "tracked", "ate_m")} for o in rep_outs]
     return out
 
 

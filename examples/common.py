@@ -39,6 +39,18 @@ def build_parser(description: str) -> argparse.ArgumentParser:
                         "latest_frame.jpg/latest_map.jpg without one)")
     p.add_argument("--viewer-dir", default=".",
                    help="publish directory for the headless live viewer")
+    p.add_argument("--eval", default=None, metavar="GT_FILE",
+                   help="ground-truth trajectory; prints ATE-RMSE and RPE "
+                        "after the run (TUM format: 'ts tx ty tz qx qy qz "
+                        "qw' with nearest-timestamp association, or KITTI "
+                        "format: per-frame 3x4 rows, index-associated)")
+    p.add_argument("--eval-format", default="auto",
+                   choices=("auto", "tum", "kitti"),
+                   help="ground-truth file format (auto: sniff column "
+                        "count)")
+    p.add_argument("--eval-scale", action="store_true",
+                   help="Sim(3) alignment for the ATE (monocular: scale is "
+                        "unobservable, the TUM tools' --scale analogue)")
     return p
 
 
@@ -114,9 +126,92 @@ def run_loop(system: SLAMSystem, frames: Iterable, track: Callable,
         print(system.tracker.stats.report())
 
 
+def load_gt_trajectory(path: str, fmt: str = "auto"):
+    """-> (timestamps or None, [N, 4, 4] Twc). TUM rows are
+    't tx ty tz qx qy qz qw'; KITTI rows are 12 values of a 3x4 Twc
+    (no timestamps — association is by frame index, as the KITTI devkit
+    does)."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            rows.append([float(x) for x in line.replace(",", " ").split()])
+    arr = np.asarray(rows, np.float64)
+    if fmt == "auto":
+        fmt = "kitti" if arr.shape[1] == 12 else "tum"
+    if fmt == "kitti":
+        twc = np.tile(np.eye(4), (len(arr), 1, 1))
+        twc[:, :3, :4] = arr.reshape(-1, 3, 4)
+        return None, twc
+    ts = arr[:, 0]
+    t = arr[:, 1:4]
+    q = arr[:, 4:8]  # qx qy qz qw (TUM order)
+    x, y, z, w = q.T
+    r = np.empty((len(arr), 3, 3))
+    r[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    r[:, 0, 1] = 2 * (x * y - z * w)
+    r[:, 0, 2] = 2 * (x * z + y * w)
+    r[:, 1, 0] = 2 * (x * y + z * w)
+    r[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    r[:, 1, 2] = 2 * (y * z - x * w)
+    r[:, 2, 0] = 2 * (x * z - y * w)
+    r[:, 2, 1] = 2 * (y * z + x * w)
+    r[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    twc = np.tile(np.eye(4), (len(arr), 1, 1))
+    twc[:, :3, :3] = r
+    twc[:, :3, 3] = t
+    return ts, twc
+
+
+def evaluate_trajectory(system: SLAMSystem, args) -> dict | None:
+    """--eval: associate the estimated trajectory with the ground-truth
+    file and print ATE-RMSE + RPE — the in-process equivalent of the TUM
+    benchmark's evaluate_ate/evaluate_rpe scripts the reference README
+    points users at (/root/reference/README.md sec. 6)."""
+    if not getattr(args, "eval", None):
+        return None
+    from orbslam2_tpu.io.evaluate import ate_rmse, rpe
+    gt_ts, gt_twc = load_gt_trajectory(args.eval, args.eval_format)
+    est_twc = system.tracker.full_trajectory_twc()
+    est_ts = np.array([e.timestamp for e in system.tracker.trajectory])
+    keep = ~system.tracker.trajectory_lost_mask()
+    est_twc, est_ts = est_twc[keep], est_ts[keep]
+    if gt_ts is None:
+        # KITTI: index association over the common prefix
+        n = min(len(est_twc), len(gt_twc))
+        est_a, gt_a = est_twc[:n], gt_twc[:n]
+        n_assoc = n
+    else:
+        # TUM: nearest-timestamp association, 20 ms window (the TUM
+        # tools' max_difference default)
+        idx = np.searchsorted(gt_ts, est_ts)
+        idx = np.clip(idx, 1, len(gt_ts) - 1)
+        left = np.abs(gt_ts[idx - 1] - est_ts) < np.abs(gt_ts[idx] - est_ts)
+        idx = np.where(left, idx - 1, idx)
+        ok = np.abs(gt_ts[idx] - est_ts) <= 0.02
+        est_a, gt_a = est_twc[ok], gt_twc[idx[ok]]
+        n_assoc = int(ok.sum())
+    if n_assoc < 3:
+        print(f"eval: only {n_assoc} associated poses — skipping")
+        return None
+    with_scale = bool(getattr(args, "eval_scale", False))
+    ate = ate_rmse(est_a, gt_a, with_scale=with_scale)
+    rpe_t, rpe_r = rpe(est_a, gt_a)
+    out = {"ate_rmse_m": round(float(ate), 4),
+           "rpe_trans_m": round(float(rpe_t), 4),
+           "rpe_rot_deg": round(float(np.degrees(rpe_r)), 4),
+           "n_associated": n_assoc,
+           "scale_aligned": with_scale}
+    print("eval:", out)
+    return out
+
+
 def save_outputs(system: SLAMSystem, args) -> None:
     system.save_trajectory_tum(args.trajectory_out)
     system.save_keyframe_trajectory_tum(args.kf_trajectory_out)
     if args.kitti_trajectory_out:
         system.save_trajectory_kitti(args.kitti_trajectory_out)
+    evaluate_trajectory(system, args)
     system.shutdown()

@@ -196,4 +196,37 @@ def export_synthetic_tum(seq, out_dir: str, depth_map_factor: float = 5000.0) ->
             cv2.imwrite(os.path.join(out_dir, depth_rel),
                         np.clip(d16, 0, 65535).astype(np.uint16))
             f.write(f"{ts:.6f} {rgb_rel} {ts:.6f} {depth_rel}\n")
+    # groundtruth.txt in the TUM benchmark's own format ('ts tx ty tz qx
+    # qy qz qw', Twc) so the drivers' --eval path runs end-to-end on
+    # exported synthetic sequences exactly as it would on a real download
+    with open(os.path.join(out_dir, "groundtruth.txt"), "w") as f:
+        f.write("# ground truth trajectory\n# timestamp tx ty tz qx qy qz qw\n")
+        for i in range(seq.n_frames):
+            twc = np.linalg.inv(seq.poses[i])
+            t = twc[:3, 3]
+            qx, qy, qz, qw = _rot_to_quat(twc[:3, :3])
+            f.write(f"{i / seq.fps:.6f} {t[0]:.6f} {t[1]:.6f} {t[2]:.6f} "
+                    f"{qx:.6f} {qy:.6f} {qz:.6f} {qw:.6f}\n")
     return assoc_path
+
+
+def _rot_to_quat(r: np.ndarray):
+    """3x3 rotation -> (qx, qy, qz, qw)."""
+    tr = np.trace(r)
+    if tr > 0:
+        s = np.sqrt(tr + 1.0) * 2
+        qw = 0.25 * s
+        qx = (r[2, 1] - r[1, 2]) / s
+        qy = (r[0, 2] - r[2, 0]) / s
+        qz = (r[1, 0] - r[0, 1]) / s
+    else:
+        i = int(np.argmax([r[0, 0], r[1, 1], r[2, 2]]))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + r[i, i] - r[j, j] - r[k, k], 1e-12)) * 2
+        q = [0.0, 0.0, 0.0]
+        q[i] = 0.25 * s
+        q[j] = (r[j, i] + r[i, j]) / s
+        q[k] = (r[k, i] + r[i, k]) / s
+        qw = (r[k, j] - r[j, k]) / s
+        qx, qy, qz = q
+    return qx, qy, qz, qw

@@ -193,14 +193,19 @@ class SyntheticSequence:
                 yaw = 2.4 * np.pi * t
                 twc_t = np.array([0.2 * np.sin(yaw), 0.0, 0.2 * (1 - np.cos(yaw))])
                 rvec = np.array([0.0, yaw, 0.0])
-            elif kind in ("circuit", "circuit2"):
+            elif kind in ("circuit", "circuit2", "circuit3"):
                 # tour a circle inside the room facing outward: rich
                 # translation (monocular-friendly) with a genuine
                 # KITTI-style revisit — "circuit" goes ~15% past the full
                 # turn; "circuit2" does two full laps (the entire second
                 # lap revisits, giving loop closure many keyframes even at
-                # sparse keyframe cadence)
-                ang = (4.0 if kind == "circuit2" else 2.3) * np.pi * t
+                # sparse keyframe cadence); "circuit3" overshoots by 135
+                # degrees: monocular init consumes the first ~55 degrees
+                # of arc before the first keyframe exists, so the smaller
+                # overshoots leave mono with too few revisit keyframes for
+                # the loop-consistency chain
+                ang = {"circuit": 2.3, "circuit2": 4.0,
+                       "circuit3": 2.75}[kind] * np.pi * t
                 r_c = 1.2
                 twc_t = np.array([r_c * np.sin(ang), 0.0, r_c * np.cos(ang)])
                 rvec = np.array([0.0, ang, 0.0])

@@ -38,6 +38,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 from typing import List, Tuple
 
 import jax
@@ -73,6 +74,12 @@ class ORBConfig:
     cell_size: int = 32          # spatial-distribution bucket (reference uses 30px FAST cells)
     cell_topk: int = 8           # candidates kept per bucket before the level top-k
     pattern_seed: int = 20120904  # fixed seed -> reproducible descriptor pattern
+    # "learned": greedy-decorrelated test set trained by
+    # tools/train_brief_pattern.py (the ORB paper's sec-4.3 procedure on
+    # this framework's own corpus — the analogue of the reference's
+    # learned bit_pattern_31_, ORBextractor.cc:160, without copying it).
+    # "gaussian": the legacy seeded BRIEF-style pattern.
+    pattern_kind: str = "learned"
     # fused Pallas orientation+descriptor kernel (ops/pallas_orb.py):
     # None = auto (on for TPU backends, off for CPU), True/False to force.
     use_pallas: bool | None = None
@@ -114,6 +121,28 @@ def make_pattern(seed: int) -> np.ndarray:
     norm = np.linalg.norm(pts, axis=-1, keepdims=True)
     factor = np.minimum(1.0, 13.0 / np.maximum(norm, 1e-9))
     return (pts * factor).astype(np.float32)
+
+
+_LEARNED_PATTERN_PATH = os.path.join(
+    os.path.dirname(__file__), "data", "brief_pattern_learned.npz")
+_learned_pattern_cache: np.ndarray | None = None
+
+
+def load_pattern(config: "ORBConfig") -> np.ndarray:
+    """Resolve the BRIEF test pattern for a config: the shipped
+    greedy-decorrelated learned table (tools/train_brief_pattern.py;
+    measured |bit-corr| mean 0.10 vs 0.14 and |mean-0.5| 0.14 vs 0.25
+    against the Gaussian baseline on the training corpus), or the legacy
+    seeded-Gaussian pattern. Falls back to Gaussian if the learned
+    artifact is missing."""
+    global _learned_pattern_cache
+    if config.pattern_kind == "learned":
+        if _learned_pattern_cache is None and os.path.exists(_LEARNED_PATTERN_PATH):
+            _learned_pattern_cache = np.load(
+                _LEARNED_PATTERN_PATH)["pattern"].astype(np.float32)
+        if _learned_pattern_cache is not None:
+            return _learned_pattern_cache
+    return make_pattern(config.pattern_seed)
 
 
 def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
@@ -290,7 +319,7 @@ class ORBExtractor:
         budgets.append(max(0, c.n_features - sum(budgets)))
         self.level_budgets = budgets
         self.n_total = sum(budgets)
-        self.pattern = make_pattern(c.pattern_seed)  # [256, 2, 2]
+        self.pattern = load_pattern(c)  # [256, 2, 2]
         self.blur_kernel = gaussian_kernel1d(2.0, 3)  # 7x7 sigma=2 (ORBextractor.cc:1314)
         self.k10, self.k01 = _moment_kernels()
         on_cpu = jax.default_backend() == "cpu"

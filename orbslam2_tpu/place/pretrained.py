@@ -12,26 +12,43 @@ vocabularies from real imagery.
 from __future__ import annotations
 
 import os
+import warnings
 
 import numpy as np
 
 from orbslam2_tpu.place import vocabulary as voc_mod
 
-_CACHE = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l3.npz")
-_CACHE_LARGE = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l4.npz")
+_DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _pattern_suffix() -> str:
+    """Vocabulary artifacts are keyed by the active descriptor pattern:
+    trees trained on the legacy Gaussian pattern keep their original
+    filenames, trees trained on the learned decorrelated pattern
+    (ops/data/brief_pattern_learned.npz) carry an ``_lp`` suffix. The
+    suffix follows what the DEFAULT ORBConfig resolves to, which is what
+    every driver and test extractor uses."""
+    from orbslam2_tpu.ops import orb
+    cfg = orb.ORBConfig()
+    if cfg.pattern_kind == "learned" and os.path.exists(
+            orb._LEARNED_PATTERN_PATH):
+        return "_lp"
+    return ""
+
+
+def _path(tier: str, suffix: str | None = None) -> str:
+    sfx = _pattern_suffix() if suffix is None else suffix
+    return os.path.join(_DATA, f"default_voc_{tier}{sfx}.npz")
 
 
 def get_default_vocabulary(force_retrain: bool = False) -> voc_mod.Vocabulary:
-    if not force_retrain and os.path.exists(_CACHE):
-        return voc_mod.load_vocabulary(_CACHE)
+    cache = _path("k10l3")
+    if not force_retrain and os.path.exists(cache):
+        return voc_mod.load_vocabulary(cache)
     voc = _train_default()
-    os.makedirs(os.path.dirname(_CACHE), exist_ok=True)
-    voc_mod.save_vocabulary(voc, _CACHE)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    voc_mod.save_vocabulary(voc, cache)
     return voc
-
-
-_CACHE_XL = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l5.npz")
-_CACHE_XXL = os.path.join(os.path.dirname(__file__), "data", "default_voc_k10l6.npz")
 
 
 def get_best_vocabulary() -> voc_mod.Vocabulary:
@@ -42,9 +59,22 @@ def get_best_vocabulary() -> voc_mod.Vocabulary:
     Mirrors how ORB-SLAM2 always loads the big offline ORBvoc.txt
     (/root/reference/src/System.cc:68-80). Dataset drivers use this;
     unit tests keep the small default for speed."""
-    for path in (_CACHE_XXL, _CACHE_XL):
-        if os.path.exists(path):
-            return voc_mod.load_vocabulary(path)
+    for tier in ("k10l6", "k10l5"):
+        p = _path(tier)
+        if os.path.exists(p):
+            return voc_mod.load_vocabulary(p)
+    # mismatched-pattern fallback: a tree trained on the other pattern
+    # still functions as a partition of descriptor space, with degraded
+    # discrimination — usable until the retrained artifact lands
+    for tier in ("k10l6", "k10l5"):
+        for sfx in ("", "_lp"):
+            p = _path(tier, sfx)
+            if os.path.exists(p):
+                warnings.warn(
+                    f"vocabulary {os.path.basename(p)} was trained on a "
+                    "different descriptor pattern; retrain via "
+                    "tools/train_xxl_voc.py for full discrimination")
+                return voc_mod.load_vocabulary(p)
     return get_large_vocabulary()
 
 
@@ -55,8 +85,9 @@ def get_large_vocabulary() -> voc_mod.Vocabulary:
     where the 1k-word tree's BoW vectors saturate and loop/reloc candidate
     discrimination degrades. Falls back to the small default if the large
     artifact is missing."""
-    if os.path.exists(_CACHE_LARGE):
-        return voc_mod.load_vocabulary(_CACHE_LARGE)
+    p = _path("k10l4")
+    if os.path.exists(p):
+        return voc_mod.load_vocabulary(p)
     return get_default_vocabulary()
 
 

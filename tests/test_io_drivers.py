@@ -92,12 +92,22 @@ class TestTumDriver:
         res = subprocess.run(
             [sys.executable, "examples/rgbd_tum.py", str(settings), out, assoc,
              "--no-loop-closing", "--max-frames", "6",
-             "--trajectory-out", str(traj), "--kf-trajectory-out", str(kft)],
+             "--trajectory-out", str(traj), "--kf-trajectory-out", str(kft),
+             "--eval", os.path.join(out, "groundtruth.txt")],
             cwd="/root/repo", env=env, capture_output=True, text=True, timeout=420)
         assert res.returncode == 0, res.stderr[-2000:]
         assert "tracked 6 frames" in res.stdout
         data = np.loadtxt(str(traj))
         assert data.shape == (6, 8)
+        # --eval ran the TUM association + ATE/RPE path on the exported
+        # groundtruth (r3 verdict item 8: parity numbers one command away)
+        eval_lines = [ln for ln in res.stdout.splitlines()
+                      if ln.startswith("eval:")]
+        assert eval_lines, res.stdout[-2000:]
+        import ast as _ast
+        stats = _ast.literal_eval(eval_lines[0][5:].strip())
+        assert stats["n_associated"] == 6
+        assert stats["ate_rmse_m"] < 0.05, stats
 
 
 class TestMapPersistence:

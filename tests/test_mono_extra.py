@@ -56,8 +56,15 @@ class TestMonoLoopClosure:
         of the sim3 pose graph for mono, Optimizer.cc:945,1100-1119), and
         the trajectory's scale error must not grow versus the pre-loop
         state."""
-        seq = SyntheticSequence(CAM, n_frames=160, trajectory="circuit",
-                                seed=9, world="room")
+        # circuit3 (full turn + 135 deg): mono init consumes the first
+        # ~55 deg of arc before any keyframe exists, so smaller overshoots
+        # leave too few revisit keyframes for the consistency chain; the
+        # exposure swing induces enough drift that re-association breaks
+        # and a genuine loop EVENT fires — without it this renderer's mono
+        # drift is so small that the revisit reconnects seamlessly through
+        # covisibility (correct behavior, but no loop to test)
+        seq = SyntheticSequence(CAM, n_frames=200, trajectory="circuit3",
+                                seed=9, world="room", exposure=0.35)
         system = make_system(voc)
         assert system.loop_closer.cfg.fix_scale is False  # mono wiring
         system.loop_closer.cfg.consistency_threshold = 2

@@ -12,6 +12,15 @@ harness to run unchanged on a real pod:
   communication overhead rather than demonstrating speedup.
 
 Usage: python tools/bench_dist_ba.py [n_obs] [mesh sizes...]
+       python tools/bench_dist_ba.py --steady [n_obs]
+
+--steady (VERDICT r3 item 7): post-compile per-LM-step wall clock via the
+slope method (phase_iters=(2,) vs (10,) — the 8-step delta cancels
+compile, dispatch, classify and transfer overhead), for each mesh size at
+BOTH fixed total work (strong scaling) and fixed per-shard work (weak
+scaling; the weak-scaling step-time increase over mesh=1 bounds the
+collective+scheduling overhead). Run unchanged on a real pod for the
+first hardware scaling numbers.
 """
 from __future__ import annotations
 
@@ -21,7 +30,9 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-MESHES = [int(x) for x in sys.argv[2:]] or [1, 2, 4, 8]
+STEADY = "--steady" in sys.argv
+ARGS = [a for a in sys.argv[1:] if a != "--steady"]
+MESHES = [int(x) for x in ARGS[1:]] or [1, 2, 4, 8]
 os.environ.setdefault(
     "XLA_FLAGS",
     f"--xla_force_host_platform_device_count={max(MESHES)}")
@@ -77,8 +88,58 @@ def make_problem(n_cams=64, n_pts=4096, n_obs=65536, noise=0.5, seed=0):
     return problem, poses_true, pts
 
 
+def _per_step_ms(problem, mesh, reps=2):
+    """Slope method: (t(10 LM steps) - t(2 LM steps)) / 8, best of reps."""
+    def run(iters):
+        res = dist_ba.distributed_bundle_adjust(
+            problem, CAM, mesh, phase_iters=(iters,), pcg_iters=30)
+        jax.block_until_ready(res.poses)
+    run(2)   # compile both program shapes
+    run(10)
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run(2)
+        t2 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(10)
+        t10 = time.perf_counter() - t0
+        best = min(best, (t10 - t2) / 8.0)
+    return best * 1e3
+
+
+def steady_main():
+    n_obs = int(ARGS[0]) if ARGS else 65536
+    print(f"steady per-LM-step timing; meshes {MESHES}; "
+          f"{len(jax.devices())} devices ({jax.devices()[0].platform})")
+    # strong scaling: fixed total problem
+    problem, _, _ = make_problem(n_obs=n_obs)
+    strong = {}
+    for n in MESHES:
+        strong[n] = _per_step_ms(problem, mesh_mod.make_mesh(n))
+        print(f"strong mesh={n}: {strong[n]:8.2f} ms/LM-step "
+              f"(total {n_obs} obs)", flush=True)
+    # weak scaling: fixed per-shard observation count
+    per_shard = n_obs // max(MESHES)
+    weak = {}
+    for n in MESHES:
+        problem_w, _, _ = make_problem(n_obs=per_shard * n)
+        weak[n] = _per_step_ms(problem_w, mesh_mod.make_mesh(n))
+        print(f"weak   mesh={n}: {weak[n]:8.2f} ms/LM-step "
+              f"({per_shard} obs/shard)", flush=True)
+    base_s, base_w = strong[MESHES[0]], weak[MESHES[0]]
+    for n in MESHES:
+        print(f"mesh={n}: strong-speedup {base_s / strong[n]:.2f}x "
+              f"(efficiency {base_s / strong[n] / (n / MESHES[0]) * 100:.0f}%), "
+              f"weak overhead +{(weak[n] / base_w - 1) * 100:.0f}% "
+              f"(collectives+scheduling bound)")
+    import json
+    print(json.dumps({"strong_ms_per_step": strong,
+                      "weak_ms_per_step": weak}))
+
+
 def main():
-    n_obs = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    n_obs = int(ARGS[0]) if ARGS else 65536
     problem, poses_true, pts_true = make_problem(n_obs=n_obs)
     print(f"problem: 64 cams, 4096 pts, {n_obs} obs; meshes {MESHES}")
     results = {}
@@ -110,4 +171,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    steady_main() if STEADY else main()

@@ -35,8 +35,10 @@ from orbslam2_tpu.ops.orb import ORBConfig, ORBExtractor  # noqa: E402
 from orbslam2_tpu.place import vocabulary as voc_mod  # noqa: E402
 from orbslam2_tpu.place.pretrained import get_default_vocabulary  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "orbslam2_tpu", "place",
-                   "data", "default_voc_k10l4.npz")
+def _out_path():
+    from orbslam2_tpu.place import pretrained
+    return pretrained._path("k10l4")
+OUT = None  # resolved lazily after orbslam2_tpu imports (pattern suffix)
 
 
 def corpus_descriptors(n_images: int) -> np.ndarray:
@@ -134,6 +136,7 @@ def main():
     n_used = int((voc4.word_weights > 0).sum())
     print(f"trained k=10 L=4: {voc4.n_words} words, {n_used} populated "
           f"({time.time()-t0:.0f}s)", flush=True)
+    globals()['OUT'] = _out_path()
     voc_mod.save_vocabulary(voc4, OUT)
     print(f"saved {OUT} ({os.path.getsize(OUT)/1e6:.1f} MB)", flush=True)
 

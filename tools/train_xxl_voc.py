@@ -42,8 +42,10 @@ from orbslam2_tpu.ops.orb import ORBConfig, ORBExtractor  # noqa: E402
 from orbslam2_tpu.place import vocabulary as voc_mod  # noqa: E402
 from tools.train_xl_voc import CAMS, db_discrimination_report  # noqa: E402
 
-OUT = os.path.join(os.path.dirname(__file__), "..", "orbslam2_tpu", "place",
-                   "data", "default_voc_k10l6.npz")
+def _out_path():
+    from orbslam2_tpu.place import pretrained
+    return pretrained._path("k10l6")
+OUT = None  # resolved lazily after orbslam2_tpu imports (pattern suffix)
 
 
 def pink_texture(rng: np.random.Generator, size: int, alpha: float) -> np.ndarray:
@@ -169,6 +171,7 @@ def main():
     live = int((voc.word_weights > 0).sum())
     print(f"trained k=10 L=6: {voc.n_words} slots, {live} live words "
           f"({time.time() - t0:.0f}s)", flush=True)
+    globals()['OUT'] = _out_path()
     voc_mod.save_vocabulary(voc, OUT)
     print(f"saved {OUT} ({os.path.getsize(OUT) / 1e6:.1f} MB)", flush=True)
     db_discrimination_report(voc, "xxl-k10l6")
