@@ -24,7 +24,10 @@ def setup():
     n = 64
     ys = rng.integers(orb.EDGE_MARGIN, h - orb.EDGE_MARGIN, n).astype(np.int32)
     xs = rng.integers(orb.EDGE_MARGIN, w - orb.EDGE_MARGIN, n).astype(np.int32)
-    pattern = orb.make_pattern(orb.ORBConfig().pattern_seed)
+    # the pattern the default config resolves to (learned table when the
+    # artifact ships, Gaussian otherwise) — must match what xla_reference's
+    # internal ORBExtractor uses, or the two paths compare different bits
+    pattern = orb.load_pattern(orb.ORBConfig())
     return img, blur, ys, xs, pattern
 
 
@@ -86,7 +89,7 @@ def test_fused_kernel_edge_keypoints(h, w):
     n = min(len(xs_list), len(ys_list))
     xs = np.array(xs_list[:n], np.int32)
     ys = np.array(ys_list[:n], np.int32)
-    pattern = orb.make_pattern(orb.ORBConfig().pattern_seed)
+    pattern = orb.load_pattern(orb.ORBConfig())
     ang_ref, desc_ref = xla_reference(img, blur, ys, xs, pattern)
     ang, desc = pallas_orb.fused_orient_describe(
         jnp.asarray(img), jnp.asarray(blur), jnp.asarray(ys), jnp.asarray(xs),
