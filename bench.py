@@ -298,7 +298,10 @@ def bench_kitti_full(jax, jnp) -> dict:
     rt, bw_up, bw_down = measure_relay(jax, jnp)
     cam = PinholeCamera(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
                         width=1241, height=376, bf=386.1448)
-    cfg = SLAMConfig(cam=cam, orb=ORBConfig(n_features=2000, n_levels=8),
+    cfg = SLAMConfig(cam=cam,
+                     orb=ORBConfig(n_features=2000, n_levels=8,
+                                   pattern_kind=os.environ.get(
+                                       "ORBSLAM2_PATTERN", "learned")),
                      th_depth=386.1448 / 718.856 * 40.0,   # ThDepth=40
                      max_keyframes=1536, max_points=150_000,
                      local_point_cap=4096, max_frames_between_kf=10,
@@ -338,14 +341,33 @@ def bench_kitti_full(jax, jnp) -> dict:
     def one_rep():
         system = SLAMSystem(cfg, Sensor.STEREO, vocabulary=voc)
         system.loop_closer.cfg.consistency_threshold = 2
+
+        def backlog_gate():
+            # sustainable cadence (the reference mains sleep to dataset
+            # timestamps, stereo_kitti.cc:118-126): an ungated drive on a
+            # fast tracker outruns the mapping worker, the idle gate then
+            # rejects keyframes, and the thinned map LOSES tracking —
+            # measured on this relay: 8 KFs / 40 lost frames ungated vs
+            # 14 KFs / 0 lost gated. The wait time stays inside t_total:
+            # the headline is the sustainable SYSTEM rate, and the
+            # worker's relay round trips are metered and corrected like
+            # the tracker's.
+            tw = time.perf_counter()
+            while (system.mapping_worker is not None
+                   and system.mapping_worker.queue_size() >= 1
+                   and time.perf_counter() - tw < 30.0):
+                time.sleep(0.002)
+
         lost = 0
         for i in range(warm):
+            backlog_gate()
             system.track_stereo(staged[i][0], staged[i][1], i / seq.fps)
         system.wait_mapping_idle()
         meter.n_fetch = meter.bytes_up = meter.bytes_down = 0
         meter.enabled = True
         t0 = time.perf_counter()
         for i in range(warm, n_frames):
+            backlog_gate()
             if system.track_stereo(staged[i][0], staged[i][1],
                                    i / seq.fps) is None:
                 lost += 1

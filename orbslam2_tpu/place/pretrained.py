@@ -27,7 +27,11 @@ def _pattern_suffix() -> str:
     filenames, trees trained on the learned decorrelated pattern
     (ops/data/brief_pattern_learned.npz) carry an ``_lp`` suffix. The
     suffix follows what the DEFAULT ORBConfig resolves to, which is what
-    every driver and test extractor uses."""
+    every driver and test extractor uses; ORBSLAM2_PATTERN=gaussian
+    overrides it for A/B runs that construct gaussian-pattern extractors
+    explicitly."""
+    if os.environ.get("ORBSLAM2_PATTERN") == "gaussian":
+        return ""
     from orbslam2_tpu.ops import orb
     cfg = orb.ORBConfig()
     if cfg.pattern_kind == "learned" and os.path.exists(

@@ -9,6 +9,7 @@ localization mode switch and reset live on the System facade.
 """
 from __future__ import annotations
 
+import dataclasses
 from typing import Optional
 
 import numpy as np
@@ -92,10 +93,30 @@ def draw_map_topdown(m, trajectory_twc: Optional[np.ndarray] = None,
     return img
 
 
+@dataclasses.dataclass
+class ViewNav:
+    """Interactive map-view state — the functional analogue of the
+    reference viewer's Pangolin camera interaction (Follow Camera menu
+    toggle + mouse orbit/zoom/pan, /root/reference/src/Viewer.cc:116-196
+    with s_cam.Follow(Twc)). Mutated by LiveViewer's key/mouse handlers;
+    read by draw_map_3d."""
+    elev_deg: float = 35.0
+    azim_deg: float = -30.0
+    zoom: float = 1.0            # view distance multiplier (wheel / +-)
+    pan: tuple = (0.0, 0.0)      # screen-space offset, fraction of radius
+    follow: bool = False         # center+scale on the current camera
+    topdown: bool = False        # 2D top-down instead of the 3D scene
+
+    def reset(self):
+        self.elev_deg, self.azim_deg = 35.0, -30.0
+        self.zoom, self.pan = 1.0, (0.0, 0.0)
+
+
 def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
                 cur_tcw: Optional[np.ndarray] = None, size: int = 640,
                 elev_deg: float = 35.0, azim_deg: float = -30.0,
-                covis_w: Optional[np.ndarray] = None) -> np.ndarray:
+                covis_w: Optional[np.ndarray] = None,
+                nav: Optional[ViewNav] = None) -> np.ndarray:
     """Perspective 3D map view — the reference MapDrawer's GL scene
     (/root/reference/src/MapDrawer.cc:93-256) rendered without a GL
     context: keyframe FRUSTA (blue wire pyramids, DrawKeyFrames cc:158),
@@ -123,9 +144,19 @@ def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
     ctr = allp.mean(axis=0)
     radius = max(float(np.linalg.norm(allp - ctr, axis=1).max()), 1e-3)
 
-    # virtual view pose: orbit the centroid (look-at construction)
+    zoom = 1.0
+    if nav is not None:
+        elev_deg, azim_deg, zoom = nav.elev_deg, nav.azim_deg, nav.zoom
+        if nav.follow and cur_tcw is not None:
+            # Follow Camera (Viewer.cc:160-166, s_cam.Follow(Twc)): the
+            # view tracks the current camera at a local scale
+            twc = np.linalg.inv(cur_tcw)
+            ctr = twc[:3, 3]
+            radius = max(0.25 * radius, 1e-3)
+
+    # virtual view pose: orbit the (possibly followed) center
     el, az = np.deg2rad(elev_deg), np.deg2rad(azim_deg)
-    eye = ctr + 2.6 * radius * np.array(
+    eye = ctr + 2.6 * radius * zoom * np.array(
         [np.cos(el) * np.sin(az), -np.sin(el), -np.cos(el) * np.cos(az)])
     fwd = ctr - eye
     fwd = fwd / np.linalg.norm(fwd)
@@ -133,6 +164,10 @@ def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
     right = np.cross(fwd, up0)
     right /= max(np.linalg.norm(right), 1e-9)
     down = np.cross(fwd, right)
+    if nav is not None and nav.pan != (0.0, 0.0):
+        # pan: slide both eye and look-target in the view plane
+        off = (nav.pan[0] * right + nav.pan[1] * down) * radius
+        eye = eye + off
     r_vc = np.stack([right, down, fwd])         # world -> view rotation
     t_vc = -r_vc @ eye
     f = 0.9 * size

@@ -55,6 +55,13 @@ class LiveViewer:
         if use_gui is None:
             use_gui = bool(os.environ.get("DISPLAY"))
         self._gui = use_gui
+        # interactive navigation state (Viewer.cc:116-196 analogue):
+        # mouse-drag orbit, wheel zoom, right-drag pan; keys f=follow
+        # camera, t=top-down, r=reset, arrows orbit, +/- zoom
+        from orbslam2_tpu.viewer.headless import ViewNav
+        self.nav = ViewNav(topdown=not map_3d)
+        self._mouse_state = None
+        self._windows_ready = False
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="live-viewer")
         self._thread.start()
@@ -110,12 +117,12 @@ class LiveViewer:
             if self.n_rendered % self.map_every == 0:
                 traj = tr.full_trajectory_twc(wait=False) \
                     if tr.trajectory else None
-                if self.map_3d:
+                if not self.nav.topdown:
                     from orbslam2_tpu.viewer.headless import draw_map_3d
                     cur = tr.last_frame.tcw if tr.last_frame is not None \
                         else None
                     map_img = draw_map_3d(self.system.map, traj, cur_tcw=cur,
-                                          covis_w=tr._covis_w)
+                                          covis_w=tr._covis_w, nav=self.nav)
                 else:
                     map_img = draw_map_topdown(self.system.map, traj)
         self.last_frame_img = img
@@ -127,13 +134,63 @@ class LiveViewer:
         else:
             self._publish(img, map_img)
 
+    def _on_mouse(self, event, x, y, flags, _param) -> None:
+        """Pangolin-style orbit/pan/zoom on the map window."""
+        import cv2
+        if event in (cv2.EVENT_LBUTTONDOWN, cv2.EVENT_RBUTTONDOWN):
+            self._mouse_state = (event, x, y)
+        elif event in (cv2.EVENT_LBUTTONUP, cv2.EVENT_RBUTTONUP):
+            self._mouse_state = None
+        elif event == cv2.EVENT_MOUSEMOVE and self._mouse_state is not None:
+            btn, x0, y0 = self._mouse_state
+            dx, dy = x - x0, y - y0
+            if btn == cv2.EVENT_LBUTTONDOWN:   # drag: orbit
+                self.nav.azim_deg = (self.nav.azim_deg + 0.4 * dx) % 360
+                self.nav.elev_deg = float(
+                    np.clip(self.nav.elev_deg + 0.4 * dy, -89, 89))
+            else:                               # right-drag: pan
+                px, py = self.nav.pan
+                self.nav.pan = (px - 0.003 * dx, py - 0.003 * dy)
+            self._mouse_state = (btn, x, y)
+        elif event == cv2.EVENT_MOUSEWHEEL:
+            self.nav.zoom = float(np.clip(
+                self.nav.zoom * (0.9 if flags > 0 else 1.1), 0.05, 20.0))
+
+    def _handle_key(self, key: int) -> None:
+        nav = self.nav
+        if key in (ord("f"), ord("F")):
+            nav.follow = not nav.follow           # Follow Camera toggle
+        elif key in (ord("t"), ord("T")):
+            nav.topdown = not nav.topdown
+        elif key in (ord("r"), ord("R")):
+            nav.reset()
+        elif key in (ord("+"), ord("=")):
+            nav.zoom = max(nav.zoom * 0.8, 0.05)
+        elif key in (ord("-"), ord("_")):
+            nav.zoom = min(nav.zoom * 1.25, 20.0)
+        elif key == 81:   # left arrow
+            nav.azim_deg -= 10
+        elif key == 83:   # right arrow
+            nav.azim_deg += 10
+        elif key == 82:   # up arrow
+            nav.elev_deg = min(nav.elev_deg + 8, 89)
+        elif key == 84:   # down arrow
+            nav.elev_deg = max(nav.elev_deg - 8, -89)
+
     def _show(self, img, map_img) -> None:
         import cv2
         try:
+            if not self._windows_ready:
+                cv2.namedWindow(self.window)
+                cv2.namedWindow(self.window + " map")
+                cv2.setMouseCallback(self.window + " map", self._on_mouse)
+                self._windows_ready = True
             cv2.imshow(self.window, img)
             if map_img is not None:
                 cv2.imshow(self.window + " map", map_img)
-            cv2.waitKey(1)
+            key = cv2.waitKey(1)
+            if key >= 0:
+                self._handle_key(key & 0xFF)
         except cv2.error:
             # display went away: degrade to file publishing
             self._gui = False

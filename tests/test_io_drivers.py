@@ -157,6 +157,23 @@ class TestHeadlessViewer:
         m_img = draw_map_topdown(s.map, s.tracker.full_trajectory_twc())
         assert m_img.shape == (640, 640, 3)
         assert (m_img < 250).any()  # something was drawn
+        # interactive navigation (Viewer.cc:116-196 analogue): follow
+        # camera, orbit, zoom and pan all produce distinct valid renders
+        from orbslam2_tpu.viewer.headless import ViewNav, draw_map_3d
+        traj = s.tracker.full_trajectory_twc()
+        cur = s.tracker.last_frame.tcw
+        base = draw_map_3d(s.map, traj, cur_tcw=cur)
+        views = [
+            ViewNav(follow=True),
+            ViewNav(azim_deg=40.0, elev_deg=10.0),
+            ViewNav(zoom=0.4),
+            ViewNav(pan=(0.3, -0.2)),
+        ]
+        for nav in views:
+            img2 = draw_map_3d(s.map, traj, cur_tcw=cur, nav=nav)
+            assert img2.shape == base.shape
+            assert (img2 < 250).any()
+            assert (img2 != base).any(), f"nav {nav} did not change the view"
 
 
 class TestSystemAPI:
