@@ -238,6 +238,15 @@ class LocalMapper:
         return float(np.median(z))
 
     NB_CAP = 24        # padded neighbor batch for the one-dispatch program
+
+    @property
+    def _nb_cap(self) -> int:
+        """Stereo/RGB-D triangulates against 10 covisible neighbors
+        (LocalMapping.cc:243 nn=10), mono against 20 — padding both to 24
+        made the one-dispatch program 2x more expensive than stereo needs
+        (measured 162 ms at B=24 vs ~half at B=12 on v5e at KITTI
+        shapes). One compile per cap value."""
+        return 24 if self.cfg.monocular else 12
     TRI_OUT_CAP = 1024  # compacted survivors fetched across ALL neighbors
 
     def _map_gens(self):
@@ -275,18 +284,19 @@ class LocalMapper:
                     if baseline < 0.01:
                         continue
                 keep.append(nb)
-            keep = keep[: self.NB_CAP]
+            nb_cap = self._nb_cap
+            keep = keep[: nb_cap]
             if not keep:
                 return
             # one device program matches + triangulates against ALL neighbors
             store = m.device_kf_store()
             b = len(keep)
-            nb_ids = np.zeros(self.NB_CAP, np.int32)
+            nb_ids = np.zeros(nb_cap, np.int32)
             nb_ids[:b] = keep
-            nb_valid = np.zeros(self.NB_CAP, bool)
+            nb_valid = np.zeros(nb_cap, bool)
             nb_valid[:b] = True
             free1 = (m.kf_pt[kf] < 0) & m.kf_kp_valid[kf]
-            free2 = np.zeros((self.NB_CAP, m.cap.n_features), bool)
+            free2 = np.zeros((nb_cap, m.cap.n_features), bool)
             free2[:b] = (m.kf_pt[np.array(keep)] < 0) & m.kf_kp_valid[np.array(keep)]
             a = store.arrays
             pose = store.pose  # snapshot: a concurrent sync may swap it

@@ -315,6 +315,58 @@ class TestRobustness:
         assert lost <= 5, lost
         assert ate < 0.12, ate
 
+    def test_long_loop_occluder_and_exposure(self):
+        """Combined failure modes over a LONG LOOP (r3 verdict weak #7's
+        harder synthetic): a moving untextured occluder panel plus
+        auto-exposure photometric drift across a full panorama loop —
+        place recognition must still close the loop and the corrected
+        trajectory must stay bounded."""
+        import time
+
+        from orbslam2_tpu.frontend.tracking import SLAMConfig
+        from orbslam2_tpu.geometry.camera import PinholeCamera
+        from orbslam2_tpu.io.evaluate import ate_rmse
+        from orbslam2_tpu.io.synthetic import SyntheticSequence
+        from orbslam2_tpu.ops.orb import ORBConfig
+        from orbslam2_tpu.place.pretrained import get_default_vocabulary
+        from orbslam2_tpu.system import SLAMSystem, Sensor
+
+        cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                            width=320, height=240, bf=26.0)
+        cfg = SLAMConfig(cam=cam, orb=ORBConfig(n_features=800, n_levels=4),
+                         th_depth=4.0, max_keyframes=96,
+                         local_point_cap=2048, max_frames_between_kf=5,
+                         min_init_features=250, force_kf_every=4,
+                         async_mapping=True)
+        system = SLAMSystem(cfg, Sensor.RGBD,
+                            vocabulary=get_default_vocabulary())
+        system.loop_closer.cfg.consistency_threshold = 2
+        seq = SyntheticSequence(cam, n_frames=100, trajectory="panorama",
+                                seed=7, world="room", exposure=0.3,
+                                occluder=True)
+        lost = 0
+        for i in range(seq.n_frames):
+            t0 = time.time()
+            while (system.mapping_worker is not None
+                   and system.mapping_worker.queue_size() >= 2
+                   and time.time() - t0 < 10.0):
+                time.sleep(0.01)
+            gray, depth = seq.render(i)
+            if system.track_rgbd(gray, depth, i / seq.fps) is None \
+                    and i > 5:
+                lost += 1
+        system.wait_mapping_idle()
+        assert lost <= 5, f"{lost} frames lost"
+        assert system.loop_closer.n_loops_closed >= 1, \
+            "loop not closed under occluder + exposure drift"
+        est = system.tracker.full_trajectory_twc()
+        gt = np.stack([np.linalg.inv(seq.poses[i])
+                       for i in range(seq.n_frames)])
+        keep = ~system.tracker.trajectory_lost_mask()
+        err = ate_rmse(est[keep], gt[keep])
+        assert err < 0.20, f"hard-world post-loop ATE {err:.3f}"
+        system.shutdown()
+
 
 class TestUncappedBA:
     """The reference's bundle adjustments carry NO observation caps
