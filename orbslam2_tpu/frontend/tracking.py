@@ -293,17 +293,21 @@ class Tracker:
             if last_pid is None:
                 last_pid = last.pt_ids  # staged with the call (8 KB)
             imgs_d = tuple(jnp.asarray(im, jnp.float32) for im in imgs)
-            out = kernels.fused_frame_step(
-                (kind, imgs_d), self.extractor, self.cam,
-                self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
-                tcw_pred, last.kp, last_pid, self._local_ids,
-                self._local_sel, np.float32(radius_mult),
-                mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
-                mir.pt_min_dist, mir.pt_max_dist)
-            (tcw_h, pid_h, outl_h, vis_h, mm_m, mm_in, n_in, depth_h, ur_h) \
-                = jax.device_get((out.tcw, out.pt_ids, out.is_outlier,
-                                  out.visible, out.mm_matches, out.mm_inliers,
-                                  out.n_inliers, out.depth, out.ur))
+            with self.stats.stage("fused_dev"):
+                # device dispatch + the frame's single fetch; the enclosing
+                # fused_step stage minus this is pure host work
+                out = kernels.fused_frame_step(
+                    (kind, imgs_d), self.extractor, self.cam,
+                    self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
+                    tcw_pred, last.kp, last_pid, self._local_ids,
+                    self._local_sel, np.float32(radius_mult),
+                    mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+                    mir.pt_min_dist, mir.pt_max_dist)
+                (tcw_h, pid_h, outl_h, vis_h, mm_m, mm_in, n_in, depth_h,
+                 ur_h) = jax.device_get(
+                    (out.tcw, out.pt_ids, out.is_outlier,
+                     out.visible, out.mm_matches, out.mm_inliers,
+                     out.n_inliers, out.depth, out.ur))
         fr = frame_mod.Frame(
             frame_id=frame_id, timestamp=timestamp, kp=out.kp, ur=out.ur,
             depth=out.depth, tcw=tcw_pred.copy(),
