@@ -146,7 +146,8 @@ def _stereo_build(extractor: ORBExtractor, cam: PinholeCamera,
     kp_l, pyr_l = extractor.extract_with_pyramid(gl)
     kp_r, pyr_r = extractor.extract_with_pyramid(gr)
     ur, depth = match_stereo(kp_l, kp_r, pyr_l, pyr_r, cam,
-                             scale_factor, n_levels)
+                             scale_factor, n_levels,
+                             level_budgets=tuple(extractor.level_budgets))
     und_xy = cam.undistort_points(kp_l.xy)
     kp = Keypoints(
         xy=und_xy, response=kp_l.response, angle=kp_l.angle,
