@@ -301,13 +301,14 @@ class LocalMapper:
             a = store.arrays
             pose = store.pose  # snapshot: a concurrent sync may swap it
         # --- device program + fetch, unlocked (tracker frames proceed) --
-        res = jax.device_get(triangulate_neighbors(
-            np.int32(kf), free1, nb_ids,
-            nb_valid, free2, pose,
-            a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
-            a["kf_kp_angle"], a["kf_kp_valid"], a["kf_kp_ur"],
-            a["kf_kp_depth"], self.cam, cfg.scale_factor, cfg.n_levels,
-            self.TRI_OUT_CAP))
+        with self.stats.stage("tri_dev"):
+            res = jax.device_get(triangulate_neighbors(
+                np.int32(kf), free1, nb_ids,
+                nb_valid, free2, pose,
+                a["kf_kp_xy"], a["kf_kp_desc"], a["kf_kp_octave"],
+                a["kf_kp_angle"], a["kf_kp_valid"], a["kf_kp_ur"],
+                a["kf_kp_depth"], self.cam, cfg.scale_factor, cfg.n_levels,
+                self.TRI_OUT_CAP))
         # --- apply under the lock; generation-validated -----------------
         with self.map_lock:
             if not atomic and self._map_gens() != gens:
