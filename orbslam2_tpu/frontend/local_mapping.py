@@ -264,7 +264,7 @@ class LocalMapper:
         m = self.map
         cfg = self.cfg
         # --- stage under the lock -------------------------------------
-        with self.map_lock:
+        with self.stats.stage("tri_stage"), self.map_lock:
             gens = self._map_gens()
             n_neigh = cfg.triangulation_neighbors * (2 if cfg.monocular else 1)
             neighbors = covisibility.best_covisible(w, kf, n_neigh)
@@ -310,7 +310,7 @@ class LocalMapper:
                 a["kf_kp_depth"], self.cam, cfg.scale_factor, cfg.n_levels,
                 self.TRI_OUT_CAP))
         # --- apply under the lock; generation-validated -----------------
-        with self.map_lock:
+        with self.stats.stage("tri_apply"), self.map_lock:
             if not atomic and self._map_gens() != gens:
                 return "conflict"  # nothing applied; caller reruns atomically
             rows = np.where(res.idx1 >= 0)[0]
