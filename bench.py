@@ -339,6 +339,11 @@ def bench_kitti_full(jax, jnp) -> dict:
     gt = _np.stack([_np.linalg.inv(seq.poses[i]) for i in frame_ids])
 
     def one_rep():
+        # re-measure the relay per rep: the tunnel is a shared tenant
+        # link, and a congested-start rt applied to a later clean window
+        # (or vice versa) distorts the corrected figure badly
+        nonlocal rt, bw_up, bw_down
+        rt, bw_up, bw_down = measure_relay(jax, jnp)
         system = SLAMSystem(cfg, Sensor.STEREO, vocabulary=voc)
         system.loop_closer.cfg.consistency_threshold = 2
 
