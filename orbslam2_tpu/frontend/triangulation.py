@@ -188,14 +188,22 @@ def triangulate_neighbors(
     kp2i_all, pts_all = jax.lax.map(one, (nb_ids, nb_valid, free2))
 
     # global compaction: winners from ALL neighbors, in (neighbor, slot)
-    # order, into one fixed [out_cap] list
+    # order, into one fixed [out_cap] list. Cumsum-rank scatter, not an
+    # argsort: a device-wide sort of B*N keys was a measurable chunk of
+    # the program (winners have unique ranks, so the scatter is
+    # conflict-free; overflow beyond out_cap lands in a discard slot)
     won = (kp2i_all >= 0).reshape(-1)                    # [B*N]
-    order = jnp.argsort(~won)[:out_cap]                  # stable
-    keep = won[order]
-    nb_slot = jnp.where(keep, order // n, -1).astype(jnp.int32)
-    idx1 = jnp.where(keep, order % n, -1).astype(jnp.int32)
-    kp2i = jnp.where(keep, kp2i_all.reshape(-1)[order], -1).astype(jnp.int32)
-    pts = pts_all.reshape(-1, 3)[order]
+    rank = jnp.cumsum(won.astype(jnp.int32)) - 1
+    dst = jnp.where(won & (rank < out_cap), rank, out_cap)
+    src = jnp.full((out_cap + 1,), -1, jnp.int32).at[dst].set(
+        jnp.arange(won.shape[0], dtype=jnp.int32))
+    order = src[:out_cap]                                # [out_cap], -1 pad
+    keep = order >= 0
+    safe = jnp.maximum(order, 0)
+    nb_slot = jnp.where(keep, safe // n, -1).astype(jnp.int32)
+    idx1 = jnp.where(keep, safe % n, -1).astype(jnp.int32)
+    kp2i = jnp.where(keep, kp2i_all.reshape(-1)[safe], -1).astype(jnp.int32)
+    pts = pts_all.reshape(-1, 3)[safe]
     return BatchedTriangulation(nb_slot=nb_slot, idx1=idx1, kp2_idx=kp2i,
                                 points=pts)
 

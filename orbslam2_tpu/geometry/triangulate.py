@@ -22,10 +22,15 @@ def triangulate_dlt(p1: jax.Array, p2: jax.Array, uv1: jax.Array, uv2: jax.Array
     """Linear triangulation of point pairs.
 
     p1, p2: [..., 3, 4] projection matrices; uv1, uv2: [..., 2] pixels.
-    Returns world points [..., 3]. The homogeneous solution is the null
-    vector of the 4x4 DLT system A x = 0, computed as the smallest
-    eigenvector of A^T A (symmetric 4x4 — cheap and batched, avoids a
-    full SVD per point).
+    Returns world points [..., 3]. Solves the inhomogeneous DLT least
+    squares B X = -a (the 4x4 system's first three columns against its
+    last, i.e. the w=1 gauge) through closed-form 3x3 normal equations:
+    `jnp.linalg.eigh` on [N, 4, 4] batches lowers to an iterative
+    eigensolver on TPU and dominated the whole triangulation program
+    (same lesson as the batched-LU det/solve in sim3). Points near
+    infinity (w ~ 0) get garbage here AND from the eigenvector variant's
+    normalization — the callers' parallax/cheirality/chi2 gates reject
+    them either way.
     """
     rows = jnp.stack(
         [
@@ -36,14 +41,29 @@ def triangulate_dlt(p1: jax.Array, p2: jax.Array, uv1: jax.Array, uv2: jax.Array
         ],
         axis=-2,
     )  # [..., 4, 4]
-    ata = jnp.einsum("...ki,...kj->...ij", rows, rows)
-    # smallest eigenvector of a symmetric matrix
-    w, v = jnp.linalg.eigh(ata)
-    del w
-    x = v[..., :, 0]
-    wh = x[..., 3]
-    wh = jnp.where(jnp.abs(wh) < 1e-12, 1e-12, wh)
-    return x[..., :3] / wh[..., None]
+    b = rows[..., :, :3]
+    rhs = -rows[..., :, 3]
+    ata = jnp.einsum("...ki,...kj->...ij", b, b)      # [..., 3, 3] SPD
+    atb = jnp.einsum("...ki,...k->...i", b, rhs)
+    # closed-form 3x3 solve via adjugate (all elementwise — VPU-friendly)
+    a00, a01, a02 = ata[..., 0, 0], ata[..., 0, 1], ata[..., 0, 2]
+    a11, a12, a22 = ata[..., 1, 1], ata[..., 1, 2], ata[..., 2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20,
+                              jnp.where(det < 0, -1e-20, 1e-20), det)
+    b0, b1, b2 = atb[..., 0], atb[..., 1], atb[..., 2]
+    x = jnp.stack([
+        c00 * b0 + c01 * b1 + c02 * b2,
+        c01 * b0 + c11 * b1 + c12 * b2,
+        c02 * b0 + c12 * b1 + c22 * b2,
+    ], axis=-1) * inv_det[..., None]
+    return x
 
 
 def fundamental_from_poses(k1: jax.Array, tcw1: jax.Array, k2: jax.Array, tcw2: jax.Array) -> jax.Array:
