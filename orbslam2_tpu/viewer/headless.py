@@ -106,6 +106,11 @@ class ViewNav:
     pan: tuple = (0.0, 0.0)      # screen-space offset, fraction of radius
     follow: bool = False         # center+scale on the current camera
     topdown: bool = False        # 2D top-down instead of the 3D scene
+    # the reference viewer's menu checkboxes (Viewer.cc:69-72,
+    # menuShowPoints / menuShowKeyFrames / menuShowGraph)
+    show_points: bool = True
+    show_keyframes: bool = True
+    show_graph: bool = True
 
     def reset(self):
         self.elev_deg, self.azim_deg = 35.0, -30.0
@@ -185,7 +190,10 @@ def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
             cv2.line(img, (int(a_uv[0]), int(a_uv[1])),
                      (int(b_uv[0]), int(b_uv[1])), color, th)
 
-    if len(pts):
+    show_points = nav is None or nav.show_points
+    show_kfs = nav is None or nav.show_keyframes
+    show_graph = nav is None or nav.show_graph
+    if len(pts) and show_points:
         uv, vis = project(pts)
         # vectorized scatter: the viewer renders under the tracker's map
         # lock — a Python loop over 150k points would stall tracking
@@ -205,26 +213,32 @@ def draw_map_3d(m, trajectory_twc: Optional[np.ndarray] = None,
         return [(uv[a], uv[b], bool(vis[a] & vis[b])) for a, b in segs]
 
     w_frustum = 0.04 * radius
-    if len(kf_ids):
+    if len(kf_ids) and (show_graph or show_kfs):
         from orbslam2_tpu.slammap import covisibility
-        wmat = covis_w if covis_w is not None \
-            else covisibility.weight_matrix(m)
         c_uv, c_vis = project(centers)
-        for k in kf_ids:
-            # spanning tree + strong covisibility edges (DrawGraph)
-            par = m.kf_parent[k]
-            if par >= 0 and m.kf_valid[par]:
-                line(c_uv[k], c_uv[par], c_vis[k] & c_vis[par], (0, 180, 0))
-            for nb in np.where(wmat[k] >= covisibility.ESSENTIAL_THRESHOLD)[0]:
-                if nb > k and m.kf_valid[nb]:
-                    line(c_uv[k], c_uv[nb], c_vis[k] & c_vis[nb], (0, 180, 0))
-            for e in m.kf_loop_edges[k]:
-                if m.kf_valid[e]:
-                    line(c_uv[k], c_uv[e], c_vis[k] & c_vis[e], (0, 0, 255), 2)
-        twc_all = np.linalg.inv(m.kf_pose[kf_ids])
-        for twc in twc_all:
-            for a, b, ok in frustum_lines(twc, w_frustum):
-                line(a, b, ok, (200, 80, 0))
+        if show_graph:
+            wmat = covis_w if covis_w is not None \
+                else covisibility.weight_matrix(m)
+            for k in kf_ids:
+                # spanning tree + strong covisibility edges (DrawGraph)
+                par = m.kf_parent[k]
+                if par >= 0 and m.kf_valid[par]:
+                    line(c_uv[k], c_uv[par], c_vis[k] & c_vis[par],
+                         (0, 180, 0))
+                for nb in np.where(
+                        wmat[k] >= covisibility.ESSENTIAL_THRESHOLD)[0]:
+                    if nb > k and m.kf_valid[nb]:
+                        line(c_uv[k], c_uv[nb], c_vis[k] & c_vis[nb],
+                             (0, 180, 0))
+                for e in m.kf_loop_edges[k]:
+                    if m.kf_valid[e]:
+                        line(c_uv[k], c_uv[e], c_vis[k] & c_vis[e],
+                             (0, 0, 255), 2)
+        if show_kfs:
+            twc_all = np.linalg.inv(m.kf_pose[kf_ids])
+            for twc in twc_all:
+                for a, b, ok in frustum_lines(twc, w_frustum):
+                    line(a, b, ok, (200, 80, 0))
     if trajectory_twc is not None and len(trajectory_twc) > 1:
         t_uv, t_vis = project(trajectory_twc[:, :3, 3])
         for i in range(len(t_uv) - 1):

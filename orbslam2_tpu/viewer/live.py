@@ -157,11 +157,28 @@ class LiveViewer:
                 self.nav.zoom * (0.9 if flags > 0 else 1.1), 0.05, 20.0))
 
     def _handle_key(self, key: int) -> None:
+        """Key map — nav keys plus the reference viewer's menu surface
+        (/root/reference/src/Viewer.cc:69-75,139-148): l = Localization
+        Mode toggle (ActivateLocalizationMode / Deactivate), c = Reset
+        the SLAM system, p/k/g = Show Points / KeyFrames / Graph."""
         nav = self.nav
         if key in (ord("f"), ord("F")):
             nav.follow = not nav.follow           # Follow Camera toggle
         elif key in (ord("t"), ord("T")):
             nav.topdown = not nav.topdown
+        elif key in (ord("l"), ord("L")):         # menuLocalizationMode
+            if self.system.cfg.localization_only:
+                self.system.deactivate_localization_mode()
+            else:
+                self.system.activate_localization_mode()
+        elif key in (ord("c"), ord("C")):         # menuReset (Viewer.cc:139)
+            self.system.reset()
+        elif key in (ord("p"), ord("P")):         # menuShowPoints
+            nav.show_points = not nav.show_points
+        elif key in (ord("k"), ord("K")):         # menuShowKeyFrames
+            nav.show_keyframes = not nav.show_keyframes
+        elif key in (ord("g"), ord("G")):         # menuShowGraph
+            nav.show_graph = not nav.show_graph
         elif key in (ord("r"), ord("R")):
             nav.reset()
         elif key in (ord("+"), ord("=")):

@@ -75,3 +75,47 @@ def test_draw_map_3d_frusta_and_edges():
     img2 = draw_map_3d(m, traj)
     red = (img2[:, :, 2] == 255) & (img2[:, :, 0] == 0)
     assert red.sum() > 10, "loop edge not drawn"
+
+
+def test_viewer_system_controls(tmp_path):
+    """The reference GUI's menu surface (/root/reference/src/Viewer.cc:69-75,
+    139-148): Localization Mode drives System::ActivateLocalizationMode /
+    Deactivate, Reset resets the SLAM system, and the Show Points /
+    KeyFrames / Graph checkboxes gate the map drawing."""
+    cfg = SLAMConfig(cam=CAM, orb=ORBConfig(n_features=800, n_levels=4),
+                     th_depth=4.0, max_keyframes=32, max_points=4096,
+                     local_point_cap=1024, min_init_features=300)
+    system = SLAMSystem(cfg, Sensor.RGBD)
+    viewer = LiveViewer(system, fps=60, out_dir=str(tmp_path), use_gui=False)
+    try:
+        seq = SyntheticSequence(CAM, n_frames=4, trajectory="lateral", seed=2)
+        for i in range(seq.n_frames):
+            gray, depth = seq.render(i)
+            system.track_rgbd(gray, depth, i / seq.fps)
+        # Localization Mode toggle (menuLocalizationMode, Viewer.cc:131-138)
+        assert not system.cfg.localization_only
+        viewer._handle_key(ord("l"))
+        assert system.cfg.localization_only
+        assert system.tracker.cfg.localization_only
+        viewer._handle_key(ord("l"))
+        assert not system.cfg.localization_only
+        # Show Points / KeyFrames / Graph checkboxes
+        for key, attr in (("p", "show_points"), ("k", "show_keyframes"),
+                          ("g", "show_graph")):
+            assert getattr(viewer.nav, attr)
+            viewer._handle_key(ord(key))
+            assert not getattr(viewer.nav, attr)
+        # drawing respects the toggles: all three off -> only trajectory +
+        # current camera remain
+        from orbslam2_tpu.viewer.headless import draw_map_3d
+        full = draw_map_3d(system.map, nav=None)
+        bare = draw_map_3d(system.map, nav=viewer.nav)
+        assert ((full != 255).any(axis=2)).sum() > \
+            ((bare != 255).any(axis=2)).sum()
+        # Reset (menuReset, Viewer.cc:139-148): system map is cleared
+        assert system.map.n_keyframes() > 0
+        viewer._handle_key(ord("c"))
+        assert system.map.n_keyframes() == 0
+    finally:
+        viewer.close()
+        system.shutdown()
