@@ -166,14 +166,27 @@ class Tracker:
     # ------------------------------------------------------------------
     def _track_images(self, kind: str, imgs, timestamp: float
                       ) -> Optional[np.ndarray]:
-        # global map lock for the whole step, like the reference's
+        # The fused steady-state path manages its own lock scope: host
+        # staging and result application run under the map lock, but the
+        # device dispatch + fetch (the bulk of the frame's wall clock
+        # through a high-latency link) runs UNLOCKED so mapping-worker
+        # stages interleave with in-flight frames. This mirrors the
+        # reference's actual contention profile: Tracking::Track holds
+        # mMutexMapUpdate (Tracking.cc:299), but the expensive per-frame
+        # work it serializes against is only the BA write-backs and loop
+        # corrections — guarded here by the correction_gen rerun and the
+        # pt_stamp slot-reuse validation in _track_fused.
+        with self.map_lock:
+            fused = (self.cfg.fused_frame and self.state == TrackingState.OK
+                     and self.velocity is not None
+                     and not self.cfg.localization_only
+                     and self._local_ids is not None)
+        if fused:
+            return self._track_fused(kind, imgs, timestamp)
+        # classic path (init, reloc, localization mode, motion-model
+        # fallback): coarse whole-frame lock, like the reference's
         # mMutexMapUpdate hold across Track() (Tracking.cc:299)
         with self.map_lock:
-            if (self.cfg.fused_frame and self.state == TrackingState.OK
-                    and self.velocity is not None
-                    and not self.cfg.localization_only
-                    and self._local_ids is not None):
-                return self._track_fused(kind, imgs, timestamp)
             fr = self._build_frame(kind, imgs, timestamp)
             return self._track_locked(fr)
 
@@ -283,34 +296,71 @@ class Tracker:
     def _track_fused(self, kind: str, imgs, timestamp: float
                      ) -> Optional[np.ndarray]:
         with self.stats.stage("fused_step"):
-            self._update_last_frame()
-            last = self.last_frame
-            tcw_pred = (self.velocity @ last.tcw).astype(np.float32)
-            mir = self.map.device_mirror()
-            frame_id = self.frame_counter
-            radius_mult = 3.0 if frame_id - self.last_reloc_frame_id < 2 else 1.0
-            last_pid = self._last_pid_dev
-            if last_pid is None:
-                last_pid = last.pt_ids  # staged with the call (8 KB)
             imgs_d = tuple(jnp.asarray(im, jnp.float32) for im in imgs)
-            with self.stats.stage("fused_dev"):
-                # device dispatch + the frame's single fetch; the enclosing
-                # fused_step stage minus this is pure host work
-                out = kernels.fused_frame_step(
-                    (kind, imgs_d), self.extractor, self.cam,
-                    self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
-                    tcw_pred, last.kp, last_pid, self._local_ids,
-                    self._local_sel, np.float32(radius_mult),
-                    mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
-                    mir.pt_min_dist, mir.pt_max_dist)
-                (tcw_h, pid_h, outl_h, vis_h, mm_m, mm_in, n_in, depth_h,
-                 ur_h) = jax.device_get(
-                    (out.tcw, out.pt_ids, out.is_outlier,
-                     out.visible, out.mm_matches, out.mm_inliers,
-                     out.n_inliers, out.depth, out.ur))
+            for _attempt in range(2):
+                # --- stage under the lock: a consistent map snapshot ----
+                with self.map_lock:
+                    self._update_last_frame()
+                    last = self.last_frame
+                    tcw_pred = (self.velocity @ last.tcw).astype(np.float32)
+                    mir = self.map.device_mirror()
+                    corr_gen = self.map.correction_gen
+                    stamp_snap = self.map._pt_counter
+                    frame_id = self.frame_counter
+                    radius_mult = 3.0 \
+                        if frame_id - self.last_reloc_frame_id < 2 else 1.0
+                    last_pid = self._last_pid_dev
+                    if last_pid is None:
+                        last_pid = last.pt_ids  # staged with the call (8 KB)
+                    local_ids, local_sel = self._local_ids, self._local_sel
+                    local_pts = self._local_pts
+                # --- device dispatch + the frame's single fetch, UNLOCKED:
+                # mapping-worker stages interleave here (the device mirror
+                # sync produces fresh functional arrays, so the captured
+                # handles stay a consistent snapshot)
+                with self.stats.stage("fused_dev"):
+                    out = kernels.fused_frame_step(
+                        (kind, imgs_d), self.extractor, self.cam,
+                        self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
+                        tcw_pred, last.kp, last_pid, local_ids,
+                        local_sel, np.float32(radius_mult),
+                        mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+                        mir.pt_min_dist, mir.pt_max_dist)
+                    fetched = jax.device_get(
+                        (out.tcw, out.pt_ids, out.is_outlier,
+                         out.visible, out.mm_matches, out.mm_inliers,
+                         out.n_inliers, out.depth, out.ur))
+                # --- apply under the lock, correction-validated ----------
+                with self.map_lock:
+                    if self.map.correction_gen != corr_gen:
+                        # a loop correction / GBA apply rebased the map
+                        # mid-flight (the event the reference serializes
+                        # with mMutexMapUpdate): the solved pose lives in
+                        # the pre-correction frame — discard and re-track
+                        # against the corrected map (rare; one extra
+                        # device pass on loop-event frames only)
+                        self._last_pid_dev = None
+                        continue
+                    return self._fused_apply(kind, out, fetched, timestamp,
+                                             frame_id, local_pts, stamp_snap)
+        # two corrections in a row (pathological): classic path
+        with self.map_lock:
+            fr = self._build_frame(kind, imgs, timestamp)
+            return self._track_locked(fr)
+
+    def _fused_apply(self, kind: str, out, fetched, timestamp: float,
+                     frame_id: int, local_pts: np.ndarray,
+                     stamp_snap: int) -> Optional[np.ndarray]:
+        """Host bookkeeping for a fused frame step (map lock held).
+        Associations staged before mid-flight mapping mutations are
+        re-validated: erased or re-allocated point slots (pt_stamp >=
+        the staging snapshot) are dropped, matching the reference
+        tracker's per-use isBad() checks (Tracking.cc:1100-1119)."""
+        (tcw_h, pid_h, outl_h, vis_h, mm_m, mm_in, n_in, depth_h,
+         ur_h) = fetched
         fr = frame_mod.Frame(
             frame_id=frame_id, timestamp=timestamp, kp=out.kp, ur=out.ur,
-            depth=out.depth, tcw=tcw_pred.copy(),
+            depth=out.depth, tcw=np.asarray(tcw_h, np.float32).copy(),
             pt_ids=np.full(out.kp.n, -1, np.int32),
             is_outlier=np.zeros(out.kp.n, bool))
         fr._host_depth = (depth_h, ur_h)
@@ -320,24 +370,38 @@ class Tracker:
             # motion-model failure: reference-KF fallback on the classic
             # path (rare; costs the extra round trips only on these frames)
             self._last_pid_dev = None
+            fr.tcw = (self.velocity @ self.last_frame.tcw).astype(np.float32)
             ok = self._track_reference_keyframe(fr)
             if ok:
                 with self.stats.stage("local_map"):
                     ok = self._track_local_map(fr)
             return self._finish_frame(fr, ok)
 
-        fr.pt_ids = np.asarray(pid_h, np.int32).copy()
+        m = self.map
+        pid = np.asarray(pid_h, np.int32).copy()
+        has = pid >= 0
+        safe = np.clip(pid, 0, m.cap.max_points - 1)
+        stale = has & (~m.pt_valid[safe] | (m.pt_stamp[safe] >= stamp_snap))
+        pid[stale] = -1
+        fr.pt_ids = pid
         fr.is_outlier = np.asarray(outl_h).copy()
-        fr.tcw = np.asarray(tcw_h, np.float32)
+        fr.is_outlier[stale] = False
         self.matches_inliers = int(n_in)
         self._map_inliers = int((fr.pt_ids >= 0).sum())
         min_inliers = 30 if frame_id - self.last_reloc_frame_id > 30 else 50
         ok = int(n_in) >= min_inliers
         if ok:
-            lp = self._local_pts
-            self.map.increase_visible(lp[vis_h[: len(lp)]])
-            self.map.increase_found(fr.pt_ids[fr.pt_ids >= 0])
-            self._last_pid_dev = out.pt_ids  # device carry for next frame
+            lp = local_pts
+            vis_ids = lp[vis_h[: len(lp)]]
+            vis_ids = vis_ids[m.pt_valid[vis_ids]
+                              & (m.pt_stamp[vis_ids] < stamp_snap)]
+            m.increase_visible(vis_ids)
+            m.increase_found(fr.pt_ids[fr.pt_ids >= 0])
+            if stale.any():
+                # the device carry holds the stale ids too
+                self._last_pid_dev = None
+            else:
+                self._last_pid_dev = out.pt_ids  # device carry, next frame
         else:
             self._last_pid_dev = None
         return self._finish_frame(fr, ok)
