@@ -489,6 +489,20 @@ def _fused_track_core(kp, ur, depth, tcw_pred, last_kp, last_pid,
         mm_matches=mm_matches, mm_inliers=n_in1, n_inliers=n_in2)
 
 
+def _resolve_pred(tcw_pred):
+    """The fused programs accept the motion-model prediction either as a
+    concrete [4,4] pose or as a `(velocity, tcw_prev)` pair composed
+    in-program. The pair form lets a pipelined tracker chain a new frame
+    off the PREVIOUS step's still-on-device pose (tcw_prev = the in-flight
+    FusedFrameOut.tcw) without waiting for its fetch — the velocity is
+    then one frame older (constant-velocity over two frames), which the
+    search's widen-to-30px fallback absorbs."""
+    if isinstance(tcw_pred, tuple):
+        vel, tcw_prev = tcw_pred
+        return vel @ tcw_prev
+    return tcw_pred
+
+
 @functools.lru_cache(maxsize=8)
 def _fused_rgbd_program(extractor, cam, scale_factor, n_levels):
     from orbslam2_tpu.frontend import frame as frame_mod
@@ -496,6 +510,7 @@ def _fused_rgbd_program(extractor, cam, scale_factor, n_levels):
     def run(gray, depth_img, tcw_pred, last_kp, last_pid, local_ids,
             local_sel, radius_mult,
             pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
+        tcw_pred = _resolve_pred(tcw_pred)
         kp, ur, depth = frame_mod._rgbd_build(extractor, cam, gray, depth_img)
         return _fused_track_core(
             kp, ur, depth, tcw_pred, last_kp, last_pid, local_ids,
@@ -512,6 +527,7 @@ def _fused_stereo_program(extractor, cam, scale_factor, n_levels):
     def run(gl, gr, tcw_pred, last_kp, last_pid, local_ids,
             local_sel, radius_mult,
             pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
+        tcw_pred = _resolve_pred(tcw_pred)
         kp, ur, depth = frame_mod._stereo_build(extractor, cam, scale_factor,
                                                 gl, gr)
         return _fused_track_core(
@@ -529,6 +545,7 @@ def _fused_mono_program(extractor, cam, scale_factor, n_levels):
     def run(gray, tcw_pred, last_kp, last_pid, local_ids,
             local_sel, radius_mult,
             pt_pos, pt_desc, pt_valid, pt_normal, pt_min, pt_max):
+        tcw_pred = _resolve_pred(tcw_pred)
         kp = frame_mod._mono_build(extractor, cam, gray)
         neg = jnp.full((kp.n,), -1.0)
         return _fused_track_core(

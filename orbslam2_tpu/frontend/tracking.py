@@ -68,6 +68,13 @@ class SLAMConfig:
     # local-map + both pose optimizations) with ONE fetch
     # (kernels.fused_frame_step); False = two-program path per frame
     fused_frame: bool = True
+    # overlap the frame's result fetch with the NEXT frame's dispatch: the
+    # fused step for frame i+1 chains off frame i's still-on-device pose /
+    # keypoints / associations, and frame i's results are fetched on a
+    # background thread and applied when frame i+1 arrives (one-frame-lag
+    # bookkeeping; state transitions fall back to a synchronous re-track).
+    # Removes the blocking per-frame round trip from the critical path.
+    pipelined_fetch: bool = True
 
 
 @dataclasses.dataclass
@@ -121,6 +128,14 @@ class Tracker:
         self._selection_fresh = False  # set when a classic-path frame just
         # computed the selection (skip the end-of-frame recompute)
         self._last_pid_dev = None                      # device [N] int32
+        # pipelined-fetch state: the one in-flight fused frame (dispatched,
+        # fetch running on the background thread, not yet applied) and the
+        # single-thread pool that overlaps fetches with the next dispatch
+        self._pipe: Optional[dict] = None
+        self._carry_wrong = False  # apply found stale ids / took a fallback
+        import concurrent.futures
+        self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="frame-fetch")
         # async orchestration (set by SLAMSystem when async_mapping is on)
         import threading
         self.map_lock = threading.RLock()
@@ -184,8 +199,10 @@ class Tracker:
         if fused:
             return self._track_fused(kind, imgs, timestamp)
         # classic path (init, reloc, localization mode, motion-model
-        # fallback): coarse whole-frame lock, like the reference's
+        # fallback): apply any in-flight pipelined frame first (ordering),
+        # then a coarse whole-frame lock, like the reference's
         # mMutexMapUpdate hold across Track() (Tracking.cc:299)
+        self.flush_frames()
         with self.map_lock:
             fr = self._build_frame(kind, imgs, timestamp)
             return self._track_locked(fr)
@@ -295,62 +312,134 @@ class Tracker:
 
     def _track_fused(self, kind: str, imgs, timestamp: float
                      ) -> Optional[np.ndarray]:
+        """Fused steady-state frame. In pipelined mode (cfg.pipelined_fetch)
+        the frame is dispatched chained off the PREVIOUS frame's
+        still-on-device outputs, its fetch runs on the background thread,
+        and the previous frame's results are applied now — so the device
+        round trip overlaps the next frame's dispatch instead of blocking
+        the critical path. Host bookkeeping (trajectory, keyframe decision,
+        loss handling) therefore lags one frame; state transitions discard
+        the speculative dispatch and re-track synchronously."""
         with self.stats.stage("fused_step"):
             imgs_d = tuple(jnp.asarray(im, jnp.float32) for im in imgs)
-            for _attempt in range(2):
-                # --- stage under the lock: a consistent map snapshot ----
-                with self.map_lock:
-                    self._update_last_frame()
-                    last = self.last_frame
-                    tcw_pred = (self.velocity @ last.tcw).astype(np.float32)
-                    mir = self.map.device_mirror()
-                    corr_gen = self.map.correction_gen
-                    stamp_snap = self.map._pt_counter
-                    frame_id = self.frame_counter
-                    radius_mult = 3.0 \
-                        if frame_id - self.last_reloc_frame_id < 2 else 1.0
-                    last_pid = self._last_pid_dev
-                    if last_pid is None:
-                        last_pid = last.pt_ids  # staged with the call (8 KB)
-                    local_ids, local_sel = self._local_ids, self._local_sel
-                    local_pts = self._local_pts
-                # --- device dispatch + the frame's single fetch, UNLOCKED:
-                # mapping-worker stages interleave here (the device mirror
-                # sync produces fresh functional arrays, so the captured
-                # handles stay a consistent snapshot)
-                with self.stats.stage("fused_dev"):
-                    out = kernels.fused_frame_step(
-                        (kind, imgs_d), self.extractor, self.cam,
-                        self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
-                        tcw_pred, last.kp, last_pid, local_ids,
-                        local_sel, np.float32(radius_mult),
-                        mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
-                        mir.pt_min_dist, mir.pt_max_dist)
-                    fetched = jax.device_get(
-                        (out.tcw, out.pt_ids, out.is_outlier,
-                         out.visible, out.mm_matches, out.mm_inliers,
-                         out.n_inliers, out.depth, out.ur))
-                # --- apply under the lock, correction-validated ----------
-                with self.map_lock:
-                    if self.map.correction_gen != corr_gen:
-                        # a loop correction / GBA apply rebased the map
-                        # mid-flight (the event the reference serializes
-                        # with mMutexMapUpdate): the solved pose lives in
-                        # the pre-correction frame — discard and re-track
-                        # against the corrected map (rare; one extra
-                        # device pass on loop-event frames only)
-                        self._last_pid_dev = None
-                        continue
-                    return self._fused_apply(kind, out, fetched, timestamp,
-                                             frame_id, local_pts, stamp_snap)
+            rec = self._fused_dispatch(kind, imgs_d, timestamp)
+            prev, self._pipe = self._pipe, None
+            if not self.cfg.pipelined_fetch:
+                assert prev is None
+                return self._fused_finish(rec)
+            if prev is not None:
+                self._carry_wrong = False
+                self._fused_finish(prev)
+                chain_ok = (self.state == TrackingState.OK
+                            and self.velocity is not None
+                            and not self._carry_wrong
+                            and not self.cfg.localization_only)
+                if not chain_ok:
+                    # the applied frame invalidated this dispatch's
+                    # premises (loss / fallback path / stale device
+                    # carry): re-track this frame from the applied state
+                    # (one wasted device pass; rare)
+                    if self.state != TrackingState.OK \
+                            or self.cfg.localization_only \
+                            or self.velocity is None:
+                        with self.map_lock:
+                            fr = self._build_frame(kind, imgs_d, timestamp)
+                            return self._track_locked(fr)
+                    rec = self._fused_dispatch(kind, imgs_d, timestamp,
+                                               frame_id=rec["frame_id"])
+                    return self._fused_finish(rec)
+            self._pipe = rec
+            # the frame's solved pose arrives with the next call; return
+            # the motion-model prediction as the best current estimate
+            with self.map_lock:
+                return (self.velocity @ self.last_frame.tcw
+                        ).astype(np.float32)
+
+    # ------------------------------------------------------------------
+    def _fused_dispatch(self, kind: str, imgs_d, timestamp: float,
+                        frame_id: Optional[int] = None) -> dict:
+        """Stage a consistent snapshot under the map lock, dispatch the
+        fused program, and hand the fetch to the background thread.
+        Returns the in-flight record consumed by _fused_finish."""
+        with self.map_lock:
+            chain = self._pipe
+            if chain is None:
+                self._update_last_frame()
+                last = self.last_frame
+                vel = np.asarray(self.velocity, np.float32)
+                tcw_prev = np.asarray(last.tcw, np.float32)
+                last_kp = last.kp
+                last_pid = self._last_pid_dev
+                if last_pid is None:
+                    last_pid = last.pt_ids  # staged with the call (8 KB)
+            else:
+                # chain off the in-flight frame's device outputs; velocity
+                # is one frame older (constant-velocity over two frames —
+                # the search's widen fallback absorbs the extra error)
+                vel = np.asarray(self.velocity, np.float32)
+                tcw_prev = chain["out"].tcw
+                last_kp = chain["out"].kp
+                last_pid = chain["out"].pt_ids
+            mir = self.map.device_mirror()
+            corr_gen = self.map.correction_gen
+            stamp_snap = self.map._pt_counter
+            if frame_id is None:
+                frame_id = self.frame_counter
+                self.frame_counter += 1
+            radius_mult = 3.0 \
+                if frame_id - self.last_reloc_frame_id < 2 else 1.0
+            local_ids, local_sel = self._local_ids, self._local_sel
+            local_pts = self._local_pts
+        # device dispatch + background fetch, UNLOCKED: mapping-worker
+        # stages interleave here (the device mirror sync produces fresh
+        # functional arrays, so the captured handles stay a snapshot)
+        out = kernels.fused_frame_step(
+            (kind, imgs_d), self.extractor, self.cam,
+            self.cfg.orb.scale_factor, self.cfg.orb.n_levels,
+            (vel, tcw_prev), last_kp, last_pid, local_ids,
+            local_sel, np.float32(radius_mult),
+            mir.pt_pos, mir.pt_desc, mir.pt_valid, mir.pt_normal,
+            mir.pt_min_dist, mir.pt_max_dist)
+        targets = (out.tcw, out.pt_ids, out.is_outlier, out.visible,
+                   out.mm_matches, out.mm_inliers, out.n_inliers,
+                   out.depth, out.ur)
+        fut = self._fetch_pool.submit(lambda: jax.device_get(targets))
+        return dict(out=out, fut=fut, kind=kind, imgs_d=imgs_d,
+                    timestamp=timestamp, frame_id=frame_id,
+                    corr_gen=corr_gen, stamp_snap=stamp_snap,
+                    local_pts=local_pts)
+
+    def _fused_finish(self, rec: dict) -> Optional[np.ndarray]:
+        """Join an in-flight frame's fetch and apply it. A loop
+        correction / GBA apply that rebased the map mid-flight (the event
+        the reference serializes with mMutexMapUpdate) voids the solved
+        pose — re-track against the corrected state."""
+        for _attempt in range(2):
+            with self.stats.stage("fused_dev"):
+                fetched = rec["fut"].result()
+            with self.map_lock:
+                if self.map.correction_gen == rec["corr_gen"]:
+                    return self._fused_apply(rec, fetched)
+                self._last_pid_dev = None
+                self._carry_wrong = True
+            rec = self._fused_dispatch(rec["kind"], rec["imgs_d"],
+                                       rec["timestamp"],
+                                       frame_id=rec["frame_id"])
         # two corrections in a row (pathological): classic path
         with self.map_lock:
-            fr = self._build_frame(kind, imgs, timestamp)
+            fr = self._build_frame(rec["kind"], rec["imgs_d"],
+                                   rec["timestamp"])
             return self._track_locked(fr)
 
-    def _fused_apply(self, kind: str, out, fetched, timestamp: float,
-                     frame_id: int, local_pts: np.ndarray,
-                     stamp_snap: int) -> Optional[np.ndarray]:
+    def flush_frames(self) -> None:
+        """Apply the in-flight pipelined frame, if any (blocks on its
+        fetch). Precedes any read of per-frame bookkeeping (trajectory,
+        savers) and any classic-path frame."""
+        rec, self._pipe = self._pipe, None
+        if rec is not None:
+            self._fused_finish(rec)
+
+    def _fused_apply(self, rec: dict, fetched) -> Optional[np.ndarray]:
         """Host bookkeeping for a fused frame step (map lock held).
         Associations staged before mid-flight mapping mutations are
         re-validated: erased or re-allocated point slots (pt_stamp >=
@@ -358,18 +447,23 @@ class Tracker:
         tracker's per-use isBad() checks (Tracking.cc:1100-1119)."""
         (tcw_h, pid_h, outl_h, vis_h, mm_m, mm_in, n_in, depth_h,
          ur_h) = fetched
+        out = rec["out"]
+        frame_id = rec["frame_id"]
+        stamp_snap = rec["stamp_snap"]
+        self._update_last_frame()
         fr = frame_mod.Frame(
-            frame_id=frame_id, timestamp=timestamp, kp=out.kp, ur=out.ur,
-            depth=out.depth, tcw=np.asarray(tcw_h, np.float32).copy(),
+            frame_id=frame_id, timestamp=rec["timestamp"], kp=out.kp,
+            ur=out.ur, depth=out.depth,
+            tcw=np.asarray(tcw_h, np.float32).copy(),
             pt_ids=np.full(out.kp.n, -1, np.int32),
             is_outlier=np.zeros(out.kp.n, bool))
         fr._host_depth = (depth_h, ur_h)
-        self.frame_counter += 1
 
         if int(mm_m) < 20 or int(mm_in) < 10:
             # motion-model failure: reference-KF fallback on the classic
             # path (rare; costs the extra round trips only on these frames)
             self._last_pid_dev = None
+            self._carry_wrong = True
             fr.tcw = (self.velocity @ self.last_frame.tcw).astype(np.float32)
             ok = self._track_reference_keyframe(fr)
             if ok:
@@ -391,7 +485,7 @@ class Tracker:
         min_inliers = 30 if frame_id - self.last_reloc_frame_id > 30 else 50
         ok = int(n_in) >= min_inliers
         if ok:
-            lp = local_pts
+            lp = rec["local_pts"]
             vis_ids = lp[vis_h[: len(lp)]]
             vis_ids = vis_ids[m.pt_valid[vis_ids]
                               & (m.pt_stamp[vis_ids] < stamp_snap)]
@@ -400,6 +494,7 @@ class Tracker:
             if stale.any():
                 # the device carry holds the stale ids too
                 self._last_pid_dev = None
+                self._carry_wrong = True
             else:
                 self._last_pid_dev = out.pt_ids  # device carry, next frame
         else:
@@ -681,6 +776,13 @@ class Tracker:
         """Tracking::Reset (Tracking.cc:1815-1861): clear map, database and
         tracking state; trajectory bookkeeping survives for export (entries
         referencing cleared keyframes resolve to their last pose)."""
+        rec, self._pipe = self._pipe, None
+        if rec is not None:
+            # discard the in-flight frame (its map is being cleared) but
+            # keep one trajectory entry per tracked frame for the savers
+            self.trajectory.append(FrameTrajectoryEntry(
+                tcr=np.eye(4, dtype=np.float32), ref_kf=-1, ref_order=-1,
+                timestamp=rec["timestamp"], lost=True))
         self.map.clear()
         if self.kfdb is not None:
             self.kfdb.__init__(self.kfdb.voc, self.cfg.max_keyframes)
@@ -1135,8 +1237,10 @@ class Tracker:
         the reference requires Shutdown() before its savers (System.cc:
         353-356); self-synchronizing is strictly safer. Pass wait=False
         for a non-blocking snapshot (live viewer)."""
-        if wait and self.mapping_worker is not None:
-            self.mapping_worker.wait_idle()
+        if wait:
+            self.flush_frames()
+            if self.mapping_worker is not None:
+                self.mapping_worker.wait_idle()
         with self.map_lock:
             return self._full_trajectory_twc_locked()
 

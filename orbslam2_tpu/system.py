@@ -113,6 +113,7 @@ class SLAMSystem:
     def shutdown(self) -> None:
         """System::Shutdown (System.cc:329): drain and join the workers
         (incl. a running global BA, System.cc:337-344)."""
+        self.tracker.flush_frames()
         if self.mapping_worker is not None:
             self.mapping_worker.wait_idle()
             self.mapping_worker.stop()
@@ -149,6 +150,7 @@ class SLAMSystem:
         """Full-map bundle adjustment (GlobalBundleAdjustemnt,
         /root/reference/src/Optimizer.cc:48): PCG Schur over every valid
         observation, first keyframe fixed."""
+        self.tracker.flush_frames()
         self.wait_mapping_idle()
         with self.tracker.map_lock:
             ids = self.map.keyframe_ids()
@@ -191,6 +193,7 @@ class SLAMSystem:
     def save_map(self, path: str) -> None:
         """Persist the full map (the reference leaves SaveMap as a TODO,
         System.h:115-117; array maps make it one compressed npz)."""
+        self.tracker.flush_frames()
         self.map.save(path)
 
     def load_map(self, path: str) -> None:
