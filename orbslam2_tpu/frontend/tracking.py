@@ -322,11 +322,22 @@ class Tracker:
         the speculative dispatch and re-track synchronously."""
         with self.stats.stage("fused_step"):
             imgs_d = tuple(jnp.asarray(im, jnp.float32) for im in imgs)
+            # backpressure: a saturated mapping worker (queue >= 3 — the
+            # same threshold that blocks keyframe insertion,
+            # Tracking.cc:1294) means the tracker is outrunning mapping.
+            # Keep such frames SYNCHRONOUS so the fetch round trip
+            # throttles the feed; otherwise an unthrottled offline drive
+            # starves keyframe insertion through the reference's own
+            # queue<3 rule until tracking dies (measured: 8-device CPU
+            # twin, queue pinned at 3 for 10 frames, inliers 253 -> 30,
+            # LOST; synchronous cadence keeps the queue < 3 throughout).
+            # The reference's drives never hit this only because their
+            # mains sleep to frame timestamps.
+            pipelined = self.cfg.pipelined_fetch and (
+                self.mapping_worker is None
+                or self.mapping_worker.accept_keyframes())
             rec = self._fused_dispatch(kind, imgs_d, timestamp)
             prev, self._pipe = self._pipe, None
-            if not self.cfg.pipelined_fetch:
-                assert prev is None
-                return self._fused_finish(rec)
             if prev is not None:
                 self._carry_wrong = False
                 self._fused_finish(prev)
@@ -348,6 +359,8 @@ class Tracker:
                     rec = self._fused_dispatch(kind, imgs_d, timestamp,
                                                frame_id=rec["frame_id"])
                     return self._fused_finish(rec)
+            if not pipelined:
+                return self._fused_finish(rec)
             self._pipe = rec
             # the frame's solved pose arrives with the next call; return
             # the motion-model prediction as the best current estimate
