@@ -492,12 +492,13 @@ class ORBExtractor:
         The scattered 512-sample-per-keypoint read is restructured for the
         TPU as (a) one 32x32 dynamic_slice patch per keypoint and (b) a
         separable one-hot gather done as two batched bf16 matmuls on the
-        MXU (one-hot selection of bf16-rounded pixels is exact; the only
-        error is the bf16 rounding of the blurred intensity, ~0.5 gray
-        level, which only perturbs bits whose point pair is near-equal —
-        noise-level ties anyway). Measured on v5e: the previous
-        advanced-indexing gather was 11.6 ms/frame at 2000 keypoints; this
-        formulation is gather-free.
+        MXU. The patch is ROUNDED to integer gray levels first: integers
+        up to 256 are exact in bf16, so the one-hot selection and the
+        comparisons reproduce the reference's uchar-pixel semantics
+        exactly (computeOrbDescriptor compares GaussianBlur'd 8-bit
+        pixels) — bit-identical to the int8 Pallas kernel. Measured on
+        v5e: the previous advanced-indexing gather was 11.6 ms/frame at
+        2000 keypoints; this formulation is gather-free.
         """
         lh, lw = blurred.shape
         k = xs.shape[0]
@@ -524,7 +525,9 @@ class ORBExtractor:
                  jnp.clip(x - HALF_PATCH, 0, lw - pside)),
                 (pside, pside))
 
-        patches = jax.vmap(one_patch)(ys, xs).astype(jnp.bfloat16)  # [K, 32, 32]
+        patches = jnp.round(jnp.clip(jax.vmap(one_patch)(ys, xs), 0, 255)
+                            ).astype(jnp.bfloat16)  # [K, 32, 32] integers
+
         iota = jnp.arange(pside, dtype=jnp.int32)
         oh_r = (gy_rel[:, :, None] == iota).astype(jnp.bfloat16)  # [K, 512, 32]
         oh_c = (gx_rel[:, :, None] == iota).astype(jnp.bfloat16)

@@ -20,20 +20,24 @@ computeOrbDescriptor cc:116-157) with ONE kernel that, per keypoint:
    on the fly from (rb, cb)-shifted iotas over the raw window,
 3. rotates the BRIEF pattern by the resulting angle and gathers the 512
    samples with a column-one-hot matmul on the MXU
-   (win[48,128] @ onehot_cols^T[128,512] in bfloat16 — one-hot selection
-   of bf16-rounded pixels is exact) followed by a row-select masked
-   reduction on the VPU; (rb, cb) shift the one-hot targets for free,
+   (win[64,128] @ onehot_cols^T[128,512] in int8 -> int32; one-hot
+   selection of integer pixels is exact) followed by a row-select masked
+   reduction on the VPU; (rbb, cb) shift the one-hot targets for free,
 4. stores the 256 comparison bits as one f32 row; the uint32 packing is a
    single batched XLA pass over all keypoints after the kernel (v2 packed
    in-kernel with two [1,256]x[256,8] matmuls per keypoint — M=1 MXU ops
    whose issue latency was pure overhead at 2000 grid steps).
 
-The blurred image is VMEM-resident in bfloat16 (it is only consumed by the
-bf16 descriptor matmul, so nothing changes numerically and its VMEM
-footprint halves — headroom that matters at KITTI geometry). The raw image
-stays f32: computing the moments from bf16-rounded pixels was measured
-perf-neutral but costs up to ~0.1 rad of IC-angle noise on weak-moment
-keypoints (the angle is ill-conditioned there).
+The blurred image is VMEM-resident as CENTERED int8 (round(I) - 128):
+the reference's computeOrbDescriptor compares GaussianBlur'd *uchar*
+pixels (ORBextractor.cc:116-157), so integer comparisons are exactly its
+semantics (the earlier bf16 blur perturbed near-tie bits by ~0.5 gray of
+rounding), int8 MACs run at 2x the bf16 MXU rate on v5e, and the VMEM
+footprint halves again (headroom that matters at KITTI geometry).
+Measured: 0.756 -> 0.552 ms / 2000 keypoints (tools/ab_int8_desc.py).
+The raw image stays f32: computing the moments from bf16-rounded pixels
+was measured perf-neutral but costs up to ~0.1 rad of IC-angle noise on
+weak-moment keypoints (the angle is ill-conditioned there).
 
 Keypoint coordinates arrive via PrefetchScalarGridSpec so they are in SMEM
 before the body runs. The grid is one step per keypoint.
@@ -49,9 +53,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALF_PATCH = 15
-WIN_R = 48          # window rows: 31-row patch + up to 15 rows of 16-sublane
-                    # alignment offset -> 46, padded to a bf16 sublane-tile
-                    # multiple (16)
+WIN_R = 48          # raw window rows: 31-row patch + up to 15 rows of
+                    # 16-sublane alignment offset -> 46, padded to an f32/
+                    # bf16 sublane-tile multiple (16)
+WIN_RB = 64         # blur window rows: the blur image is int8 (sublane
+                    # tile 32), so starts align to 32 -> 31 + up to 31 rows
+                    # of offset -> 62, padded to 64
 WIN_C = 128         # window cols: 31-col patch + up to 63 lanes of phase
                     # offset -> 94, padded to one 128-lane tile. Valid only
                     # because keypoints respect EDGE_MARGIN >= 19 and the
@@ -67,11 +74,15 @@ def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
     h = raw_ref.shape[1]
     wp = raw_ref.shape[2]
 
-    # 16-row alignment: the blur image is bf16 (sublane tile 16); the same
-    # start is trivially 8-aligned for the f32 raw image
+    hb = blur_ref.shape[1]
+    # 16-row alignment for the f32 raw window
     ya = jnp.clip(((y - HALF_PATCH) // 16) * 16, 0, h - WIN_R)
     ya = pl.multiple_of(ya, 16)
     rb = y - HALF_PATCH - ya                    # patch row offset, in [0, 15]
+    # 32-row alignment for the int8 blur window
+    yb = jnp.clip(((y - HALF_PATCH) // 32) * 32, 0, hb - WIN_RB)
+    yb = pl.multiple_of(yb, 32)
+    rbb = y - HALF_PATCH - yb                   # blur row offset, in [0, 31]
     # column phase: pick the copy whose 64-column cell holds the patch's
     # left edge; the in-copy window start is then 128-aligned with the
     # remaining offset cb in [0, 63] (clips only on garbage/invalid slots)
@@ -106,22 +117,22 @@ def _kernel(ys_ref, xs_ref, raw_ref, blur_ref, dx_ref, dy_ref,
     rx = dx * ca - dy * sa
     ry = dx * sa + dy * ca
     col_t = jnp.round(rx).astype(jnp.int32) + HALF_PATCH + cb   # [1, 512]
-    row_t = jnp.round(ry).astype(jnp.int32) + HALF_PATCH + rb
+    row_t = jnp.round(ry).astype(jnp.int32) + HALF_PATCH + rbb
 
-    # ---- gather: column-one-hot matmul (MXU) + row-select reduce (VPU) --
-    # One-hot selection of bf16-rounded pixels is exact; the bf16 rounding
-    # of the blurred intensity (~0.5 gray level) only perturbs near-tie
-    # comparison bits. Explicit DEFAULT precision: the package-wide f32
-    # matmul default would request an fp32 contraction on bf16 operands,
-    # which Mosaic rejects.
-    win_blur = blur_ref[ph, pl.ds(ya, WIN_R), pl.ds(xa, WIN_C)]
+    # ---- gather: column-one-hot matmul (MXU int8) + row-select (VPU) ----
+    # The blur image is CENTERED int8 (round(I) - 128): integer pixel
+    # comparisons reproduce the reference's uchar semantics EXACTLY
+    # (computeOrbDescriptor compares GaussianBlur'd 8-bit pixels,
+    # ORBextractor.cc:116-157), and int8 MACs run at 2x the bf16 MXU rate
+    # on v5e. Measured 0.756 -> 0.552 ms / 2000 kp vs the bf16 kernel.
+    win_blur = blur_ref[ph, pl.ds(yb, WIN_RB), pl.ds(xa, WIN_C)]  # int8
     cols_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_C, 512), 0)
-    oh_ct = (cols_iota == col_t).astype(jnp.bfloat16)           # [128c, 512]
-    tmp = jnp.dot(win_blur, oh_ct, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.DEFAULT)          # [48, 512]
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_R, 512), 0)
-    vals = jnp.sum(jnp.where(rows_iota == row_t, tmp, 0.0), axis=0,
-                   keepdims=True)                               # [1, 512]
+    oh_ct = (cols_iota == col_t).astype(jnp.int8)               # [128c, 512]
+    tmp = jnp.dot(win_blur, oh_ct, preferred_element_type=jnp.int32,
+                  precision=jax.lax.Precision.DEFAULT)          # [64, 512]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_RB, 512), 0)
+    vals = jnp.sum(jnp.where(rows_iota == row_t, tmp, 0), axis=0,
+                   keepdims=True)                               # [1, 512] i32
 
     # ---- comparison bits: pattern lanes are [a_0..a_255, b_0..b_255] ----
     bits = (vals[:, :256] < vals[:, 256:]).astype(jnp.float32)  # [1, 256]
@@ -151,15 +162,18 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
     """
     h, w = raw.shape
     kcount = ys.shape[0]
-    blur = blur.astype(jnp.bfloat16)
+    # centered int8 blur: integer comparisons == the reference's uchar
+    # comparisons; [0,255] - 128 fits int8 exactly
+    blur_i8 = (jnp.clip(jnp.round(blur), 0, 255) - 128).astype(jnp.int8)
     # copy-domain width: the largest in-copy window start is
     # 128 * ((xl_max // 64) // 2) with xl_max = w - 35 (EDGE_MARGIN >= 19),
     # and the window extends 128 columns past it
     m_max = ((w - 2 * HALF_PATCH - 5) // PHASE) // 2 if w >= 40 else 0
     wp2 = 128 * max(1, m_max + 1)
     hp = max(((h + 15) // 16) * 16, WIN_R)
+    hb = max(((h + 31) // 32) * 32, WIN_RB)
     raw2 = _phase_copies(raw, wp2, hp)
-    blur2 = _phase_copies(blur, wp2, hp)
+    blur2 = _phase_copies(blur_i8, wp2, hb)
 
     # pattern -> [1, 512] lane layout, a-points then b-points
     dx = jnp.concatenate([pattern[:, 0, 0], pattern[:, 1, 0]]).reshape(1, 512)
@@ -187,8 +201,8 @@ def fused_orient_describe(raw: jax.Array, blur: jax.Array,
             jax.ShapeDtypeStruct((kcount, 256), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=kcount * 2 * WIN_R * WIN_C * 512,
-            bytes_accessed=kcount * (WIN_R * WIN_C * (4 + 2)),
+            flops=kcount * 2 * WIN_RB * WIN_C * 512,
+            bytes_accessed=kcount * (WIN_R * WIN_C * 4 + WIN_RB * WIN_C),
             transcendentals=0,
         ),
         interpret=interpret,

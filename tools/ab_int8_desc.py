@@ -191,7 +191,8 @@ def main():
     a4, d4 = pallas_orb.fused_orient_describe(di, db, dys, dxs, dp)
     a5, d5 = fused_v5(di, db, dys, dxs, dp)
     d4, d5 = np.asarray(d4), np.asarray(d5)
-    ham = np.unpackbits((d4 ^ d5).view(np.uint8), axis=1).sum(axis=1)
+    ham = np.unpackbits(np.ascontiguousarray(d4 ^ d5).view(np.uint8),
+                        axis=1).sum(axis=1)
     da = np.abs(np.arctan2(np.sin(np.asarray(a4) - np.asarray(a5)),
                            np.cos(np.asarray(a4) - np.asarray(a5))))
     print(f"v4 vs v5: desc hamming median {np.median(ham)} max {ham.max()}, "
