@@ -631,6 +631,9 @@ def main() -> None:
     fused_fps = 0.0 if only == "system" else bench_fused_step(jax, jnp)
     sys_stats = bench_system(jax, jnp)
     sweep = {} if only == "system" else bench_mesh_sweep(jax, jnp)
+    roofline = {} if (only == "system"
+                     or os.environ.get("ORBSLAM2_BENCH_ROOFLINE") == "0") \
+        else bench_roofline()
 
     out = {
         "metric": "system_fps",
@@ -640,8 +643,25 @@ def main() -> None:
         "fused_step_fps": round(fused_fps, 2),
         **{k: v for k, v in sys_stats.items() if k != "system_fps"},
         **sweep,
+        **roofline,
     }
     print(json.dumps(out))
+
+
+def bench_roofline() -> dict:
+    """Per-kernel MFU/roofline table (VERDICT r4 item 3): measured steady
+    device time x XLA cost analysis for the hot kernels, vs the v5e peaks
+    (197 TFLOP/s bf16 MXU, 819 GB/s HBM). See tools/roofline.py for the
+    methodology and caveats."""
+    import sys as _sys
+    try:
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools import roofline as rl
+        rows = [rl.KERNELS[n]() for n in
+                ("extract", "hamming", "pose_lm", "local_ba", "gba")]
+        return {"roofline": rows}
+    except Exception as e:  # never let accounting sink the headline
+        return {"roofline_error": f"{type(e).__name__}: {e}"}
 
 
 if __name__ == "__main__":
