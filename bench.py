@@ -447,6 +447,136 @@ def bench_kitti_full(jax, jnp) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# endurance mode: one KITTI-00-scale continuous session (r4 verdict item 4)
+# (ORBSLAM2_BENCH_ENDURANCE=1; manual/round-report mode)
+# ---------------------------------------------------------------------------
+def bench_endurance(jax, jnp) -> dict:
+    """A single ~2,000-frame multi-loop RGB-D session at full production
+    capacities: 8 outward-facing laps with radial/height/pitch variation
+    ("grandtour") force sustained keyframe creation past the 256-row
+    device-mirror bucket, keyframe culling + slot recycling, repeated
+    loop-closure events and async GBA — the combination the short benches
+    never exercise in one session. Reference bar: 4,541-frame KITTI 00
+    with ~1.3k keyframes and continuous culling
+    (/root/reference/src/LocalMapping.cc:704, LoopClosing.cc:119).
+
+    Frames are staged on-device as uint8 gray + uint16 millimeter depth
+    (230 KB/frame vs 2.5 MB as f32 — the relay uplink is the constraint)
+    and expanded to f32 on device per frame."""
+    from orbslam2_tpu.frontend.tracking import SLAMConfig
+    from orbslam2_tpu.geometry.camera import PinholeCamera
+    from orbslam2_tpu.io.evaluate import ate_rmse
+    from orbslam2_tpu.io.synthetic import SyntheticSequence
+    from orbslam2_tpu.ops.orb import ORBConfig
+    from orbslam2_tpu.place.pretrained import get_best_vocabulary
+    from orbslam2_tpu.system import SLAMSystem, Sensor
+
+    meter = RelayMeter()
+    meter.install()
+    rt, bw_up, bw_down = measure_relay(jax, jnp)
+    cam = PinholeCamera(fx=260.0, fy=260.0, cx=160.0, cy=120.0,
+                        width=320, height=240, bf=26.0)
+    n_frames = int(os.environ.get("ORBSLAM2_BENCH_ENDURANCE_FRAMES", "2000"))
+    reps = int(os.environ.get("ORBSLAM2_BENCH_ENDURANCE_REPS", "1"))
+    debug = bool(os.environ.get("ORBSLAM2_BENCH_DEBUG"))
+    cfg = SLAMConfig(cam=cam, orb=ORBConfig(n_features=800, n_levels=4),
+                     th_depth=4.0,
+                     max_keyframes=1536, max_points=150_000,
+                     local_point_cap=2048, max_frames_between_kf=15,
+                     min_init_features=300, async_mapping=True,
+                     profile_stages=True)
+    voc = get_best_vocabulary()
+    seq = SyntheticSequence(cam, n_frames=n_frames, trajectory="grandtour",
+                            seed=3, world="room")
+    staged = []
+    for i in range(n_frames):
+        g, d = seq.render(i)
+        staged.append((
+            jax.device_put(jnp.asarray(np.clip(np.round(g), 0, 255)
+                                       .astype(np.uint8))),
+            jax.device_put(jnp.asarray(np.round(d * 1000.0)
+                                       .astype(np.uint16)))))
+        if debug and i % 500 == 0:
+            import sys as _sys
+            print(f"staged {i}/{n_frames}", file=_sys.stderr, flush=True)
+    gt = np.stack([np.linalg.inv(seq.poses[i]) for i in range(n_frames)])
+
+    def one_rep():
+        nonlocal rt, bw_up, bw_down
+        rt, bw_up, bw_down = measure_relay(jax, jnp)
+        system = SLAMSystem(cfg, Sensor.RGBD, vocabulary=voc)
+        system.loop_closer.cfg.consistency_threshold = 2
+
+        def backlog_gate():
+            tw = time.perf_counter()
+            while (system.mapping_worker is not None
+                   and system.mapping_worker.queue_size() >= 1
+                   and time.perf_counter() - tw < 30.0):
+                time.sleep(0.002)
+
+        lost = 0
+        first_ok = None
+        max_live_kf = 0
+        meter.n_fetch = meter.bytes_up = meter.bytes_down = 0
+        meter.enabled = True
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            backlog_gate()
+            g = staged[i][0].astype(jnp.float32)
+            d = staged[i][1].astype(jnp.float32) * jnp.float32(1e-3)
+            ok = system.track_rgbd(g, d, i / seq.fps) is not None
+            if ok and first_ok is None:
+                first_ok = i
+            if not ok and first_ok is not None:
+                lost += 1
+            max_live_kf = max(max_live_kf, system.map.n_keyframes())
+        t_total = time.perf_counter() - t0
+        meter.enabled = False
+        system.wait_mapping_idle()
+        m = n_frames - (first_ok or 0)
+        t_relay = (meter.n_fetch * rt + meter.bytes_down / bw_down
+                   + meter.bytes_up / bw_up)
+        t_corr = max(t_total - t_relay, 1e-6)
+        est = system.tracker.full_trajectory_twc()
+        keep = ~system.tracker.trajectory_lost_mask()
+        ate = float(ate_rmse(est[keep], gt[keep]))
+        mm = system.map
+        out = {
+            "metric": "endurance",
+            "frames": n_frames,
+            "fps": round(m / t_corr, 2),
+            "fps_raw": round(m / t_total, 2),
+            "tracked": f"{m - lost}/{m}",
+            "tracked_pct": round(100.0 * (m - lost) / m, 2),
+            "kf_created": int(mm._kf_counter),
+            "kf_live": mm.n_keyframes(),
+            "kf_live_peak": max_live_kf,
+            "kf_culled": int(mm._kf_counter) - mm.n_keyframes(),
+            "points_live": mm.n_points(),
+            "loops_closed": system.loop_closer.n_loops_closed,
+            "gba_applied": system.loop_closer.n_gba_applied,
+            "ate_m": round(ate, 4),
+            "relay": {"rt_ms": round(rt * 1e3, 1),
+                      "fetches_per_frame": round(meter.n_fetch / m, 2)},
+        }
+        if debug:
+            import sys as _sys
+            print(system.tracker.stats.report(), file=_sys.stderr)
+            print(system.local_mapper.stats.report(), file=_sys.stderr)
+        system.shutdown()
+        return out
+
+    rep_outs = [one_rep() for _ in range(reps)]
+    out = max(rep_outs, key=lambda o: o["fps"])
+    if reps > 1:
+        out["reps"] = [{k: o[k] for k in
+                        ("fps", "fps_raw", "tracked", "loops_closed",
+                         "kf_created", "kf_culled", "ate_m")}
+                       for o in rep_outs]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # mesh sweep: distributed GBA step time per mesh size (multi-chip only)
 # ---------------------------------------------------------------------------
 def bench_mesh_sweep(jax, jnp) -> dict:
@@ -625,6 +755,10 @@ def main() -> None:
 
     if os.environ.get("ORBSLAM2_BENCH_KITTI"):
         print(json.dumps(bench_kitti_full(jax, jnp)))
+        return
+
+    if os.environ.get("ORBSLAM2_BENCH_ENDURANCE"):
+        print(json.dumps(bench_endurance(jax, jnp)))
         return
 
     only = os.environ.get("ORBSLAM2_BENCH_ONLY")

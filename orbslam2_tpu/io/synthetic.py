@@ -209,6 +209,30 @@ class SyntheticSequence:
                 r_c = 1.2
                 twc_t = np.array([r_c * np.sin(ang), 0.0, r_c * np.cos(ang)])
                 rvec = np.array([0.0, ang, 0.0])
+            elif kind == "grandtour":
+                # endurance course (VERDICT r4 item 4): many outward-facing
+                # laps of the room with radial "breathing", height bob and
+                # pitch wobble, so every lap sees the walls from a new
+                # viewpoint (sustained keyframe creation + culling of
+                # earlier redundant ones) and every revisit of the start
+                # sector is a loop-closure opportunity. 8 laps default;
+                # scaled by n so the per-frame angular rate matches the
+                # proven "circuit" cadence (~1.4 deg/frame at n=2000).
+                laps = 8.0 * n / 2000.0   # constant deg/frame at any length
+                ang = 2 * np.pi * laps * t
+                r_c = 1.0 + 0.3 * np.cos(3 * 2 * np.pi * t)
+                y_c = 0.12 * np.sin(5 * 2 * np.pi * t)
+                twc_t = np.array([r_c * np.sin(ang), y_c, r_c * np.cos(ang)])
+                # explicit yaw @ pitch composition: a single mixed rvec
+                # would wash the pitch wobble out as the yaw winds up
+                pitch = 0.10 * np.sin(4 * 2 * np.pi * t)
+                r = rodrigues(np.array([0.0, ang, 0.0], np.float32)) \
+                    @ rodrigues(np.array([pitch, 0.0, 0.0], np.float32))
+                twc = np.eye(4, dtype=np.float32)
+                twc[:3, :3] = r
+                twc[:3, 3] = twc_t
+                poses.append(np.linalg.inv(twc).astype(np.float32))
+                continue
             elif kind == "shuttle":
                 # travel far right along the wall and come back: the view
                 # leaves the start region entirely (covisibility breaks),
@@ -370,8 +394,14 @@ class SyntheticSequence:
         # right camera: x_right = x_left - b in camera frame
         shift = np.eye(4, dtype=np.float32)
         shift[0, 3] = -baseline
-        saved = self.poses[i]
+        # restore from the COPY: `self.poses[i]` is a view, so saving the
+        # row and assigning through it would leave the shifted right-camera
+        # pose in the array permanently (every later render of frame i —
+        # and any ground truth read from seq.poses — would silently be the
+        # right camera's; a global alignment hid the constant offset in
+        # ATE numbers, but repeated render_stereo(i) calls drifted by one
+        # baseline each)
         self.poses[i] = shift @ tcw
         right, _ = self.render(i)
-        self.poses[i] = saved
+        self.poses[i] = tcw
         return left, right, depth
