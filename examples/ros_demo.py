@@ -54,6 +54,7 @@ def main():
         stamp = i / seq.fps
         bus.publish("/camera/rgb/image_raw", ImageMsg(gray, stamp))
         bus.publish("/camera/depth/image_raw", ImageMsg(depth, stamp))
+    node.flush()  # publish the last in-flight frame's solved pose
     print(f"frames={node.frames} tracked={node.tracked} "
           f"poses_published={len(poses)} keyframes={system.map.n_keyframes()}")
 

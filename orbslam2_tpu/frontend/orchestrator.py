@@ -53,6 +53,13 @@ class MappingWorker:
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="mapping-worker")
         self._thread.start()
+        # join this thread BEFORE interpreter teardown: a daemon worker
+        # mid-XLA-call when the runtime is torn down aborts the process
+        # ("FATAL: exception not rethrown"). The thread keeps the worker
+        # alive regardless, so a strong atexit ref costs nothing; stop()
+        # is idempotent and explicit shutdown() makes this a no-op.
+        import atexit
+        atexit.register(self.stop)
 
     # ------------------------------------------------------------------
     def insert_keyframe(self, kf: int, word_ids: Optional[np.ndarray]) -> None:

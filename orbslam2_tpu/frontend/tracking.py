@@ -133,6 +133,10 @@ class Tracker:
         # single-thread pool that overlaps fetches with the next dispatch
         self._pipe: Optional[dict] = None
         self._carry_wrong = False  # apply found stale ids / took a fallback
+        # optional hook: called as (timestamp, tcw|None) once per APPLIED
+        # frame (see _record_trajectory) — the solved-pose stream for
+        # consumers like the ROS pose topic
+        self.applied_pose_cb = None
         import concurrent.futures
         self._fetch_pool = concurrent.futures.ThreadPoolExecutor(
             max_workers=1, thread_name_prefix="frame-fetch")
@@ -1198,6 +1202,17 @@ class Tracker:
             # async: hand the keyframe to the background worker
             with self.stats.stage("kf_handoff"):
                 self.mapping_worker.insert_keyframe(kf, wids)
+            if self.mapping_worker.sync_mapping:
+                # monocular inline mapping just triangulated this
+                # keyframe's points — the ONLY point source for mono. An
+                # in-flight chained dispatch predates them: left to land,
+                # its depleted inlier ratio re-fires the keyframe decision
+                # and cascades keyframes (measured: 94 vs 71 KFs on the
+                # mono circuit, cap hit, loop event missed). Mark the
+                # carry wrong so the in-flight frame re-dispatches against
+                # the post-triangulation map (one extra device pass per
+                # keyframe).
+                self._carry_wrong = True
             return
         if self.local_mapper is not None:
             self.local_mapper.process_keyframe(kf)
@@ -1229,6 +1244,14 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _record_trajectory(self, fr: frame_mod.Frame, lost: bool) -> None:
+        # solved-pose hook (ROS pose topic, AR overlay): fires once per
+        # APPLIED frame in order. In pipelined mode this lags the track_*
+        # call by one frame — consumers that need the solved pose (not the
+        # motion-model prediction the call returns for in-flight frames)
+        # subscribe here; stamps stay frame-accurate
+        if self.applied_pose_cb is not None:
+            self.applied_pose_cb(fr.timestamp,
+                                 None if lost else fr.tcw.copy())
         if self.ref_kf >= 0 and self.map.kf_valid[self.ref_kf]:
             tcr = fr.tcw @ np.linalg.inv(self.map.kf_pose[self.ref_kf])
             ref_order = int(self.map.kf_order[self.ref_kf])

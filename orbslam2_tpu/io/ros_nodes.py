@@ -105,21 +105,38 @@ def _to_gray(img: np.ndarray) -> np.ndarray:
 # nodes
 # ---------------------------------------------------------------------------
 class _NodeBase:
+    """Publishes SOLVED poses: the tracker's applied-pose hook fires once
+    per applied frame with its frame-accurate stamp. In pipelined tracking
+    the track_* return value for steady-state frames is the motion-model
+    prediction (the solve is still in flight); the reference's ROS nodes
+    publish the solved Tcw (ros_rgbd.cc GrabRGBD), so the pose topic
+    carries solved poses delivered one frame later instead. Call flush()
+    at end-of-stream to drain the last in-flight frame (the reference
+    requires Shutdown() before its savers for the same reason)."""
+
     def __init__(self, system, bus, pose_topic: str = "/orbslam2/pose"):
         self.system = system
         self.bus = bus
         self.pose_topic = pose_topic
         self.frames = 0
         self.tracked = 0
+        system.tracker.applied_pose_cb = self._on_applied
 
-    def _publish(self, tcw: Optional[np.ndarray], stamp: float) -> None:
-        self.frames += 1
+    def _on_applied(self, stamp: float, tcw: Optional[np.ndarray]) -> None:
         if tcw is None:
             return
         self.tracked += 1
         self.bus.publish(self.pose_topic, PoseMsg(
             tcw=tcw, stamp=stamp,
             tracked_points=int(len(self.system.get_tracked_points()))))
+
+    def _publish(self, tcw: Optional[np.ndarray], stamp: float) -> None:
+        # per-input bookkeeping only; publication happens in _on_applied
+        self.frames += 1
+
+    def flush(self) -> None:
+        """Drain the in-flight pipelined frame so its pose publishes."""
+        self.system.tracker.flush_frames()
 
 
 class MonoNode(_NodeBase):

@@ -76,6 +76,16 @@ class SLAMSystem:
                 self.local_mapper, self.loop_closer, self.tracker.map_lock,
                 sync_mapping=(sensor == Sensor.MONOCULAR))
             self.tracker.mapping_worker = self.mapping_worker
+        # join worker threads BEFORE the interpreter tears the XLA runtime
+        # down: a daemon worker mid-device-call at exit aborts the process
+        # ("FATAL: exception not rethrown" from pthread teardown inside
+        # XLA). Registered per-system and weakly, so an un-shutdown system
+        # (interactive sessions, tests) exits cleanly; explicit shutdown()
+        # makes this a no-op.
+        import atexit
+        import weakref
+        ref = weakref.ref(self)
+        atexit.register(lambda: ref() is not None and ref().shutdown())
 
     # ------------------------------------------------------------------
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray, timestamp: float

@@ -49,6 +49,7 @@ class TestRGBDNode:
             stamp = i / seq.fps
             bus.publish("/camera/rgb/image_raw", ImageMsg(gray, stamp))
             bus.publish("/camera/depth/image_raw", ImageMsg(depth, stamp))
+        node.flush()   # drain the in-flight pipelined frame
         assert node.frames == 12
         assert node.tracked >= 10
         assert len(poses) == node.tracked
