@@ -68,6 +68,18 @@ class SLAMConfig:
     # local-map + both pose optimizations) with ONE fetch
     # (kernels.fused_frame_step); False = two-program path per frame
     fused_frame: bool = True
+    # monocular mapping placement. False (default): triangulation runs
+    # INLINE at keyframe insertion — rate-robust, since triangulation is
+    # mono's only point source and a max-rate feed starves the map behind
+    # a busy worker (measured: ATE 1.17, 63/160 frames lost ungated).
+    # True: keyframes queue to the mapping worker like the reference's
+    # mono path (Tracking.cc:834-835) — at SUSTAINABLE feed rates (the
+    # reference mains' sleep-to-timestamp; drive gated on worker idle)
+    # this matches or beats inline accuracy (measured circuit ATE
+    # sync {0.080, 0.027, 0.080} vs async {0.046, 0.045, 0.064} over
+    # seeds 5/7/9) and removes the per-keyframe latency spike from the
+    # tracker thread. Use for live/real-time deployments.
+    mono_async_mapping: bool = False
     # overlap the frame's result fetch with the NEXT frame's dispatch: the
     # fused step for frame i+1 chains off frame i's still-on-device pose /
     # keypoints / associations, and frame i's results are fetched on a

@@ -74,7 +74,8 @@ class SLAMSystem:
             from orbslam2_tpu.frontend.orchestrator import MappingWorker
             self.mapping_worker = MappingWorker(
                 self.local_mapper, self.loop_closer, self.tracker.map_lock,
-                sync_mapping=(sensor == Sensor.MONOCULAR))
+                sync_mapping=(sensor == Sensor.MONOCULAR
+                              and not config.mono_async_mapping))
             self.tracker.mapping_worker = self.mapping_worker
         # join worker threads BEFORE the interpreter tears the XLA runtime
         # down: a daemon worker mid-device-call at exit aborts the process

@@ -127,3 +127,42 @@ class TestAsyncRaces:
                        for i in range(seq.n_frames)])
         assert ate_rmse(est, gt) < 0.15
         system.shutdown()
+
+
+class TestMonoAsyncMapping:
+    def test_mono_async_at_sustainable_cadence(self):
+        """mono_async_mapping=True queues mono keyframes to the worker
+        like the reference (Tracking.cc:834-835). At a sustainable feed
+        rate (drive gated on worker IDLE — queue-empty is NOT enough,
+        the worker may be mid-stage) this matches inline accuracy:
+        measured circuit ATE sync {0.080, 0.027, 0.080} vs async
+        {0.046, 0.045, 0.064} over seeds 5/7/9. Max-rate ungated feeds
+        starve the map (ATE 1.17, 63/160 lost) — that regime keeps the
+        inline default."""
+        cfg = SLAMConfig(cam=CAM, orb=ORBConfig(n_features=800, n_levels=4),
+                         max_keyframes=96, max_points=16384,
+                         local_point_cap=2048, max_frames_between_kf=8,
+                         mono_async_mapping=True)
+        system = SLAMSystem(cfg, Sensor.MONOCULAR)
+        assert system.mapping_worker.sync_mapping is False
+        seq = SyntheticSequence(CAM, n_frames=160, trajectory="circuit",
+                                seed=5, world="room")
+        lost = 0
+        first_ok = None
+        for i in range(seq.n_frames):
+            system.wait_mapping_idle(timeout=20.0)
+            gray, _ = seq.render(i)
+            ok = system.track_monocular(gray, i / seq.fps)
+            if ok is not None and first_ok is None:
+                first_ok = i
+            if ok is None and first_ok is not None:
+                lost += 1
+        system.wait_mapping_idle()
+        gt = np.stack([np.linalg.inv(seq.poses[i])
+                       for i in range(seq.n_frames)])
+        est = system.tracker.full_trajectory_twc()
+        keep = ~system.tracker.trajectory_lost_mask()
+        ate = float(ate_rmse(est[keep], gt[keep], with_scale=True))
+        system.shutdown()
+        assert lost <= 3, f"{lost} frames lost"
+        assert ate < 0.10, f"mono async ATE {ate:.3f}"
