@@ -87,6 +87,18 @@ class SLAMConfig:
     # bookkeeping; state transitions fall back to a synchronous re-track).
     # Removes the blocking per-frame round trip from the critical path.
     pipelined_fetch: bool = True
+    # frames per fetch ROUND TRIP in pipelined mode. The relay serializes
+    # round trips (measured: joining a 1-frame-lag fetch still waits a
+    # full ~25 ms rt regardless of pipeline depth), but ONE device_get
+    # over K frames' target tuples costs a single round trip (measured
+    # 26/26/27/28 ms for K=1/2/4/8 -> 3.7 ms/frame at K=8). K > 1
+    # therefore batches K consecutive frames' results into one fetch,
+    # double-buffered: batch N's fetch rides under batch N+1's dispatches.
+    # Host bookkeeping (trajectory, keyframe decision, loss handling)
+    # lags up to 2K-1 frames; state transitions re-track the affected
+    # frames synchronously. Worth it only on high-latency links (remote
+    # TPU); on PCIe hosts fetches are microseconds — keep 1.
+    fetch_batch: int = 1
 
 
 @dataclasses.dataclass
@@ -140,10 +152,13 @@ class Tracker:
         self._selection_fresh = False  # set when a classic-path frame just
         # computed the selection (skip the end-of-frame recompute)
         self._last_pid_dev = None                      # device [N] int32
-        # pipelined-fetch state: the one in-flight fused frame (dispatched,
-        # fetch running on the background thread, not yet applied) and the
-        # single-thread pool that overlaps fetches with the next dispatch
-        self._pipe: Optional[dict] = None
+        # pipelined-fetch state: `_pending` holds dispatched frames whose
+        # batch fetch has not been submitted yet (at most fetch_batch-1);
+        # `_inflight` is the one (batch, future) whose single batched
+        # device_get runs on the background thread. The fetch pool has one
+        # worker so fetch round trips stay FIFO.
+        self._pending: list = []
+        self._inflight: Optional[tuple] = None
         self._carry_wrong = False  # apply found stale ids / took a fallback
         # optional hook: called as (timestamp, tcw|None) once per APPLIED
         # frame (see _record_trajectory) — the solved-pose stream for
@@ -353,32 +368,43 @@ class Tracker:
                 self.mapping_worker is None
                 or self.mapping_worker.accept_keyframes())
             rec = self._fused_dispatch(kind, imgs_d, timestamp)
-            prev, self._pipe = self._pipe, None
-            if prev is not None:
-                self._carry_wrong = False
-                self._fused_finish(prev)
-                chain_ok = (self.state == TrackingState.OK
-                            and self.velocity is not None
-                            and not self._carry_wrong
-                            and not self.cfg.localization_only)
-                if not chain_ok:
-                    # the applied frame invalidated this dispatch's
-                    # premises (loss / fallback path / stale device
-                    # carry): re-track this frame from the applied state
-                    # (one wasted device pass; rare)
-                    if self.state != TrackingState.OK \
-                            or self.cfg.localization_only \
-                            or self.velocity is None:
-                        with self.map_lock:
-                            fr = self._build_frame(kind, imgs_d, timestamp)
-                            return self._track_locked(fr)
-                    rec = self._fused_dispatch(kind, imgs_d, timestamp,
-                                               frame_id=rec["frame_id"])
-                    return self._fused_finish(rec)
-            if not pipelined:
-                return self._fused_finish(rec)
-            self._pipe = rec
-            # the frame's solved pose arrives with the next call; return
+            self._pending.append(rec)
+            k = max(1, self.cfg.fetch_batch) if pipelined else 1
+            if len(self._pending) >= k:
+                # the new batch stays DETACHED from self._inflight until
+                # the previous batch has applied: a reset() fired during
+                # that apply must not see (and discard) frames this call
+                # still owns — it would double-append trajectory entries
+                batch, self._pending = self._pending, []
+                fut = self._submit_batch_fetch(batch)
+                prev, self._inflight = self._inflight, None
+                if prev is not None:
+                    self._carry_wrong = False
+                    kf0 = self.last_kf_frame_id
+                    self._finish_batch(prev)
+                    with self.map_lock:
+                        chain_ok = (self.state == TrackingState.OK
+                                    and self.velocity is not None
+                                    and not self._carry_wrong
+                                    and not self.cfg.localization_only
+                                    and not (self.cfg.fetch_batch > 1
+                                             and self.last_kf_frame_id
+                                             != kf0))
+                    if not chain_ok:
+                        # the applied batch invalidated the submitted
+                        # batch's premises (loss / fallback / stale
+                        # carry): re-track its frames from the applied
+                        # state (wasted device passes; rare)
+                        fut.result()  # keep fetch-thread FIFO; discard
+                        ret = None
+                        for r in batch:
+                            ret = self._retrack_sync(r)
+                        return ret
+                if not pipelined:
+                    self._carry_wrong = False
+                    return self._finish_batch((batch, fut))
+                self._inflight = (batch, fut)
+            # the frame's solved pose arrives with a later call; return
             # the motion-model prediction as the best current estimate
             with self.map_lock:
                 return (self.velocity @ self.last_frame.tcw
@@ -386,12 +412,20 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _fused_dispatch(self, kind: str, imgs_d, timestamp: float,
-                        frame_id: Optional[int] = None) -> dict:
-        """Stage a consistent snapshot under the map lock, dispatch the
-        fused program, and hand the fetch to the background thread.
-        Returns the in-flight record consumed by _fused_finish."""
+                        frame_id: Optional[int] = None,
+                        chain_off_pipe: bool = True) -> dict:
+        """Stage a consistent snapshot under the map lock and dispatch the
+        fused program. Returns the in-flight record (with its un-fetched
+        device targets) consumed by _finish_batch/_apply_one.
+        `chain_off_pipe=False` forces chaining off the applied host state
+        (re-dispatches of invalidated frames: the pipeline holds NEWER
+        frames, which would be the wrong chain parent)."""
         with self.map_lock:
-            chain = self._pipe
+            chain = None
+            if chain_off_pipe:
+                chain = (self._pending[-1] if self._pending
+                         else (self._inflight[0][-1] if self._inflight
+                               else None))
             if chain is None:
                 self._update_last_frame()
                 last = self.last_frame
@@ -432,20 +466,58 @@ class Tracker:
         targets = (out.tcw, out.pt_ids, out.is_outlier, out.visible,
                    out.mm_matches, out.mm_inliers, out.n_inliers,
                    out.depth, out.ur)
-        fut = self._fetch_pool.submit(lambda: jax.device_get(targets))
-        return dict(out=out, fut=fut, kind=kind, imgs_d=imgs_d,
+        return dict(out=out, targets=targets, kind=kind, imgs_d=imgs_d,
                     timestamp=timestamp, frame_id=frame_id,
                     corr_gen=corr_gen, stamp_snap=stamp_snap,
                     local_pts=local_pts)
 
-    def _fused_finish(self, rec: dict) -> Optional[np.ndarray]:
-        """Join an in-flight frame's fetch and apply it. A loop
-        correction / GBA apply that rebased the map mid-flight (the event
-        the reference serializes with mMutexMapUpdate) voids the solved
-        pose — re-track against the corrected state."""
+    def _submit_batch_fetch(self, batch: list):
+        """ONE device_get over the whole batch's target tuples = ONE relay
+        round trip regardless of batch size (measured: 26/26/27/28 ms for
+        1/2/4/8 frames)."""
+        targets = [r["targets"] for r in batch]
+        return self._fetch_pool.submit(lambda: jax.device_get(targets))
+
+    def _finish_batch(self, entry) -> Optional[np.ndarray]:
+        """Join a batch's fetch and apply its frames in order. If an
+        apply breaks the chain (loss, fallback path, stale carry, mode
+        switch), the remaining frames' speculative results are premised
+        on invalidated state — discard them and re-track each
+        synchronously."""
+        batch, fut = entry
+        with self.stats.stage("fused_dev"):
+            fetched_list = fut.result()
+        ret = None
+        broken = False
+        kf0 = self.last_kf_frame_id
+        for rec, fetched in zip(batch, fetched_list):
+            if broken:
+                ret = self._retrack_sync(rec)
+                continue
+            ret = self._apply_one(rec, fetched)
+            with self.map_lock:
+                # a keyframe spawned mid-batch adds map points the
+                # remaining frames' speculative solves never saw; with a
+                # multi-frame batch the staleness spans up to 2K-1 frames
+                # — long enough for the inlier count to collapse below
+                # the loss threshold before the rescue lands (measured:
+                # auto-reset thrash on the shuttle drive at K=4).
+                # Re-track the rest against the new map. K=1 keeps the
+                # measured one-frame-staleness behavior.
+                broken = (self.state != TrackingState.OK
+                          or self.velocity is None
+                          or self._carry_wrong
+                          or self.cfg.localization_only
+                          or (self.cfg.fetch_batch > 1
+                              and self.last_kf_frame_id != kf0))
+        return ret
+
+    def _apply_one(self, rec: dict, fetched) -> Optional[np.ndarray]:
+        """Apply one fetched frame. A loop correction / GBA apply that
+        rebased the map mid-flight (the event the reference serializes
+        with mMutexMapUpdate) voids the solved pose — re-track against
+        the corrected state."""
         for _attempt in range(2):
-            with self.stats.stage("fused_dev"):
-                fetched = rec["fut"].result()
             with self.map_lock:
                 if self.map.correction_gen == rec["corr_gen"]:
                     return self._fused_apply(rec, fetched)
@@ -453,20 +525,63 @@ class Tracker:
                 self._carry_wrong = True
             rec = self._fused_dispatch(rec["kind"], rec["imgs_d"],
                                        rec["timestamp"],
-                                       frame_id=rec["frame_id"])
+                                       frame_id=rec["frame_id"],
+                                       chain_off_pipe=False)
+            with self.stats.stage("fused_dev"):
+                fetched = jax.device_get(rec["targets"])
         # two corrections in a row (pathological): classic path
         with self.map_lock:
             fr = self._build_frame(rec["kind"], rec["imgs_d"],
                                    rec["timestamp"])
             return self._track_locked(fr)
 
+    def _retrack_sync(self, rec: dict) -> Optional[np.ndarray]:
+        """Re-track a frame whose speculative dispatch was invalidated:
+        fused re-dispatch from the now-current state when tracking is
+        healthy, classic path otherwise."""
+        with self.map_lock:
+            classic = (self.state != TrackingState.OK
+                       or self.velocity is None
+                       or self.cfg.localization_only)
+        if classic:
+            with self.map_lock:
+                fr = self._build_frame(rec["kind"], rec["imgs_d"],
+                                       rec["timestamp"])
+                return self._track_locked(fr)
+        self._carry_wrong = False
+        rec2 = self._fused_dispatch(rec["kind"], rec["imgs_d"],
+                                    rec["timestamp"],
+                                    frame_id=rec["frame_id"],
+                                    chain_off_pipe=False)
+        with self.stats.stage("fused_dev"):
+            fetched = jax.device_get(rec2["targets"])
+        return self._apply_one(rec2, fetched)
+
     def flush_frames(self) -> None:
-        """Apply the in-flight pipelined frame, if any (blocks on its
+        """Apply every in-flight pipelined frame (blocks on the batch
         fetch). Precedes any read of per-frame bookkeeping (trajectory,
         savers) and any classic-path frame."""
-        rec, self._pipe = self._pipe, None
-        if rec is not None:
-            self._fused_finish(rec)
+        entry, self._inflight = self._inflight, None
+        pending, self._pending = self._pending, []
+        kf0 = self.last_kf_frame_id
+        if entry is not None:
+            self._carry_wrong = False
+            self._finish_batch(entry)
+        if pending:
+            with self.map_lock:
+                chain_ok = (self.state == TrackingState.OK
+                            and self.velocity is not None
+                            and not self._carry_wrong
+                            and not self.cfg.localization_only
+                            and not (self.cfg.fetch_batch > 1
+                                     and self.last_kf_frame_id != kf0))
+            if entry is not None and not chain_ok:
+                for rec in pending:
+                    self._retrack_sync(rec)
+            else:
+                self._carry_wrong = False
+                self._finish_batch((pending,
+                                    self._submit_batch_fetch(pending)))
 
     def _fused_apply(self, rec: dict, fetched) -> Optional[np.ndarray]:
         """Host bookkeeping for a fused frame step (map lock held).
@@ -805,9 +920,10 @@ class Tracker:
         """Tracking::Reset (Tracking.cc:1815-1861): clear map, database and
         tracking state; trajectory bookkeeping survives for export (entries
         referencing cleared keyframes resolve to their last pose)."""
-        rec, self._pipe = self._pipe, None
-        if rec is not None:
-            # discard the in-flight frame (its map is being cleared) but
+        entry, self._inflight = self._inflight, None
+        pending, self._pending = self._pending, []
+        for rec in (entry[0] if entry else []) + pending:
+            # discard in-flight frames (their map is being cleared) but
             # keep one trajectory entry per tracked frame for the savers
             self.trajectory.append(FrameTrajectoryEntry(
                 tcr=np.eye(4, dtype=np.float32), ref_kf=-1, ref_order=-1,

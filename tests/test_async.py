@@ -166,3 +166,61 @@ class TestMonoAsyncMapping:
         system.shutdown()
         assert lost <= 3, f"{lost} frames lost"
         assert ate < 0.10, f"mono async ATE {ate:.3f}"
+
+
+class TestBatchedFetch:
+    """cfg.fetch_batch > 1: K frames' results fetched in ONE round trip
+    (the relay serializes round trips, so a deeper pipeline of per-frame
+    fetches cannot help — only fewer round trips can). Bookkeeping lags
+    up to 2K-1 frames; quality must stay equivalent."""
+
+    def _run(self, k: int, n_frames: int = 40):
+        seq = SyntheticSequence(CAM, n_frames=n_frames,
+                                trajectory="forward", seed=1)
+        cfg = SLAMConfig(
+            cam=CAM, orb=ORBConfig(n_features=800, n_levels=4),
+            th_depth=4.0, max_keyframes=64, max_points=8192,
+            local_point_cap=2048, max_frames_between_kf=10,
+            min_init_features=300, async_mapping=True, fetch_batch=k)
+        system = SLAMSystem(cfg, Sensor.RGBD)
+        ok = 0
+        for i in range(seq.n_frames):
+            gray, depth = seq.render(i)
+            tcw = system.track_rgbd(gray, depth, i / seq.fps)
+            ok += tcw is not None
+        system.wait_mapping_idle()
+        est = system.tracker.full_trajectory_twc()
+        gt = np.stack([np.linalg.inv(seq.poses[i])
+                       for i in range(seq.n_frames)])
+        err = ate_rmse(est, gt)
+        n_kf = system.map.n_keyframes()
+        system.shutdown()
+        return ok, err, n_kf
+
+    def test_batched_fetch_matches_unbatched_quality(self):
+        # measured baseline: K=1/2/4 -> ATE 0.0079/0.0104/0.0095 (the lag
+        # shifts keyframe cadence slightly; quality is equivalent)
+        ok1, err1, kf1 = self._run(1)
+        ok4, err4, kf4 = self._run(4)
+        assert ok4 == ok1 == 40, f"tracked {ok4} vs {ok1} at fetch_batch=4"
+        assert err4 < max(2.0 * err1, 0.03), \
+            f"ATE {err4:.4f} vs {err1:.4f} at fetch_batch=4"
+        assert kf4 >= 2
+
+    def test_batched_fetch_savers_flush(self):
+        """Trajectory reads mid-stream flush the in-flight batch: every
+        tracked frame must have an entry even with 7 frames in flight."""
+        seq = SyntheticSequence(CAM, n_frames=25, trajectory="forward",
+                                seed=1)
+        cfg = SLAMConfig(
+            cam=CAM, orb=ORBConfig(n_features=800, n_levels=4),
+            th_depth=4.0, max_keyframes=64, max_points=8192,
+            local_point_cap=2048, max_frames_between_kf=10,
+            min_init_features=300, async_mapping=True, fetch_batch=4)
+        system = SLAMSystem(cfg, Sensor.RGBD)
+        for i in range(seq.n_frames):
+            gray, depth = seq.render(i)
+            system.track_rgbd(gray, depth, i / seq.fps)
+        est = system.tracker.full_trajectory_twc()
+        assert est.shape[0] == seq.n_frames
+        system.shutdown()
