@@ -298,9 +298,14 @@ def bench_system(jax, jnp) -> dict:
         # real per-frame outcomes: in pipelined mode track_rgbd returns a
         # predicted pose before the frame's verdict lands, so `ok` counts
         # optimism — the trajectory lost-mask records what happened
-        system.tracker.flush_frames()
+        est = system.tracker.full_trajectory_twc()
         lost_mask = system.tracker.trajectory_lost_mask()
         ok = int((~lost_mask[warm:]).sum())
+        from orbslam2_tpu.io.evaluate import ate_rmse
+        gt = np.stack([np.linalg.inv(seq.poses[i])
+                       for i in range(n_frames)])
+        keep = ~lost_mask
+        ate = float(ate_rmse(est[keep], gt[keep]))
         system.shutdown()
 
         # relay correction: subtract the MEASURED wall clock the tracker
@@ -324,6 +329,7 @@ def bench_system(jax, jnp) -> dict:
             "frame_ms_max": round(float(fm.max()), 1),
             "tracked": f"{ok}/{m}",
             "keyframes": n_kf,
+            "ate_m": round(ate, 4),
             "relay": {
                 "rt_ms": round(rt * 1e3, 1),
                 "bw_up_MBps": round(bw_up / 1e6, 2),
@@ -343,7 +349,7 @@ def bench_system(jax, jnp) -> dict:
     if reps > 1:
         out["reps"] = [{k: o[k] for k in
                         ("system_fps", "system_fps_raw", "frame_ms_p50",
-                         "tracked", "keyframes")} for o in rep_outs]
+                         "tracked", "keyframes", "ate_m")} for o in rep_outs]
     return out
 
 
